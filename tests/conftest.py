@@ -1,0 +1,66 @@
+"""Test harness config: force an 8-virtual-device CPU platform BEFORE jax
+imports, so sharding/pjit tests run without TPU hardware. The real-TPU path is
+exercised by bench.py / __graft_entry__.py, not the unit suite."""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config route works.
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference/code"
+
+
+def _install_reference_stubs():
+    """Stub the reference's unavailable third-party imports (igl, openmesh,
+    cv2) so its loss.py / LieAlgebra can be imported for golden-parity tests.
+    We only ever exercise code paths that do not touch the stubs."""
+    import types
+
+    for name in ("igl", "openmesh", "cv2", "trimesh", "open3d"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+
+
+@pytest.fixture(scope="session")
+def torch_reference():
+    """Import the actual PyTorch reference modules (read-only golden oracle).
+
+    Returns a namespace with .loss, .se3, .so3, .sinc or skips if torch or the
+    reference tree is unavailable.
+    """
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference tree not mounted")
+    torch = pytest.importorskip("torch")
+    _install_reference_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import importlib
+
+    ns = types_ns = type(sys)("torch_reference")  # simple namespace module
+    ns.torch = torch
+    ns.loss = importlib.import_module("loss")
+    lie = importlib.import_module("LieAlgebra")
+    ns.se3 = lie.se3
+    ns.so3 = lie.so3
+    ns.sinc = lie.sinc
+    return types_ns
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
