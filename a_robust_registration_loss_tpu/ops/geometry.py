@@ -166,9 +166,17 @@ BBOX_FACES = jnp.array(
 
 def make_face_vertices(vertices, faces):
     """Gather faces (B, F, 3) of vertex indices into (B, F, 9) coordinate
-    9-tuples (reference: utils.py:90-105)."""
-    gathered = jax.vmap(lambda v, f: v[f])(vertices, faces)  # (B, F, 3, 3)
-    return gathered.reshape(vertices.shape[0], faces.shape[-2], 9)
+    9-tuples (reference: utils.py:90-105).
+
+    Implemented with take_along_axis rather than a vmapped fancy-index: the
+    axon TPU platform miscompiles vmapped gathers whose batch operand is a
+    stride-0 broadcast (zeroing non-leading components), and bbox faces are
+    exactly such a broadcast constant.
+    """
+    B = vertices.shape[0]
+    idx = faces.reshape(B, -1)[..., None]  # (B, F*3, 1)
+    gathered = jnp.take_along_axis(vertices, idx, axis=1)  # (B, F*3, 3)
+    return gathered.reshape(B, faces.shape[-2], 9)
 
 
 def bbox_face_vertices(vertices):

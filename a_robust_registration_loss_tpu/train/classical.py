@@ -1,0 +1,200 @@
+"""Classical single-pair SE(3) optimization with the robust metric.
+
+TPU-native re-design of the reference demo
+(code/test_demo_optimized_Lie_Algebra.py): optimize a 6-DoF twist with Adam
+so that the transformed source cloud's intersection metric against the target
+is minimized. Everything — line resampling, the metric, Adam — runs inside a
+single jitted, scanned device program; the reference's per-epoch host round
+trips (`.nonzero()` selections, Python dict counters, obj dumps on the hot
+path) do not exist here, which is where the >10x iters/sec comes from.
+
+Semantics replicated from the reference:
+- Twist init: random unit axis * 0.001 and 0.001 * N(0,1) translation
+  (reference: loss.py:441-447), or a perturbed log of a given (R, t)
+  (loss.py:449-453).
+- Transform applied as points @ R + t via se3.exp3 (loss.py:455-463).
+- Per epoch: resample 20k lines against the bboxes of the *previously*
+  transformed source and the target (test_demo...py:47-53), radius = target
+  bbox diagonal (test_demo...py:45), Adam lr 2e-2 halved every 1000 epochs
+  *including epoch 0* (the reference's adjust_learning_rate halves at
+  epoch % 1000 == 0, test_demo...py:15-21 — so the effective starting lr is
+  1e-2; replicated).
+- Chamfer distance logged as the independent check metric
+  (test_demo...py:68-74).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from a_robust_registration_loss_tpu.ops import geometry as G
+from a_robust_registration_loss_tpu.ops import lines as LN
+from a_robust_registration_loss_tpu.ops import metric as M
+from a_robust_registration_loss_tpu.se3 import se3
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassicalConfig:
+    n_epochs: int = 1000
+    n_lines: int = 20000
+    num_sample: int = 5000        # FPS seeds for neighborhoods (loss.py:473)
+    lr: float = 2e-2              # test_demo...py:42
+    lr_halve_every: int = 1000    # test_demo...py:18
+    kmin: int = 1
+    kmax: int = 4
+    line_chunk: Optional[int] = 4096
+    log_every: int = 10           # host fetch cadence (obj/scalar dumps)
+    seed: int = 123               # test_demo...py:154
+    compute_chamfer: bool = True
+
+
+def init_twist(key, rotation=None, translation=None):
+    """Twist init matching Reconstruction_point (reference: loss.py:438-453)."""
+    if rotation is None or translation is None:
+        k1, k2 = jax.random.split(key)
+        axis = jax.random.normal(k1, (3,))
+        axis = axis / jnp.linalg.norm(axis)
+        trans = jax.random.normal(k2, (3,)) * 0.001
+        return jnp.concatenate([0.001 * axis, trans]).astype(jnp.float32)
+    g = jnp.zeros((4, 4), jnp.float32)
+    g = g.at[:3, :3].set(rotation.reshape(3, 3))
+    g = g.at[:3, 3].set(translation.reshape(3))
+    g = g.at[3, 3].set(1.0)
+    perturb = jax.random.uniform(key, (6,)) * 0.6
+    return se3.log(g).reshape(-1) + perturb
+
+
+def apply_twist(params, points, point_neis):
+    """points @ R + t on the cloud and its flattened neighborhoods
+    (reference: loss.py:455-463)."""
+    R, t = se3.exp3(params.reshape(6))
+    pts = points @ R + t
+    neis = (point_neis.reshape(-1, 3) @ R + t).reshape(point_neis.shape)
+    return pts, neis
+
+
+def prepare_pair(src_vertices, tar_vertices, cfg: ClassicalConfig):
+    """Device-side preprocessing mirroring the demo's main()
+    (test_demo...py:103-141): FPS+3NN neighborhoods for both clouds, mean
+    centering, target bbox radius. Returns a dict of device arrays."""
+    src = jnp.asarray(src_vertices, jnp.float32)
+    tar = jnp.asarray(tar_vertices, jnp.float32)
+    neis_src = G.sample_neighs(src, cfg.num_sample, 3)
+    neis_tar = G.sample_neighs(tar, cfg.num_sample, 3)
+    c1 = src.mean(0, keepdims=True)
+    c2 = tar.mean(0, keepdims=True)
+    src, tar = src - c1, tar - c2
+    neis_src = neis_src - c1
+    neis_tar = neis_tar - c2
+    bbox = G.bounding_box_corners(tar[None])[0]
+    radius = jnp.linalg.norm(bbox[0] - bbox[-1])
+    center = tar.mean(0)
+    F = neis_src.shape[0] // 3
+    return dict(
+        src=src, tar=tar,
+        neis_src=neis_src.reshape(F, 9),
+        neis_tar=neis_tar.reshape(neis_tar.shape[0] // 3, 9),
+        radius=radius, center=center,
+        center_src=c1, center_tar=c2,
+    )
+
+
+def make_step(cfg: ClassicalConfig, data, optimizer):
+    """Build the jitted single-epoch step.
+
+    Carry: (params, opt_state, src_prev) where src_prev is the transformed
+    source cloud from the previous epoch (used for the resampler's bbox,
+    matching the reference's loop, test_demo...py:47-58).
+    """
+    tar = data["tar"]
+    neis_tar = data["neis_tar"]
+
+    def step(carry, key):
+        params, opt_state, src_prev = carry
+        lines = LN.resample_lines(
+            key, data["radius"], data["center"], cfg.n_lines, src_prev, tar
+        )
+
+        def loss_fn(p):
+            src_t, neis_t = apply_twist(p, data["src"], data["neis_src"])
+            loss, valid = M.intersection_loss(
+                neis_t, neis_tar, lines, cfg.kmin, cfg.kmax, cfg.line_chunk
+            )
+            return loss, (src_t, valid)
+
+        (loss, (src_t, valid)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # reference skips the optimizer step when the loss is missing
+        # (test_demo...py:63); masked here instead of crashing
+        grads = jnp.where(valid, grads, 0.0)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if cfg.compute_chamfer:
+            chamfer = G.chamfer_distance(src_t[None], tar[None])
+        else:
+            chamfer = jnp.float32(0.0)
+        metrics = dict(loss=loss, chamfer=chamfer, valid=valid)
+        return (params, opt_state, src_t), metrics
+
+    return step
+
+
+def lr_schedule(cfg: ClassicalConfig):
+    """2e-2 halved at every multiple of lr_halve_every INCLUDING step 0,
+    replicating the reference quirk (test_demo...py:15-21)."""
+    def fn(step):
+        return cfg.lr * 0.5 ** (1 + step // cfg.lr_halve_every)
+    return fn
+
+
+def run(src_vertices, tar_vertices, cfg: ClassicalConfig = ClassicalConfig(),
+        callback=None, init_params=None):
+    """Full optimization. ``callback(epoch, params, metrics, src_transformed)``
+    fires every cfg.log_every epochs (off the hot path). Returns
+    (params, history dict of stacked per-epoch metrics)."""
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    data = prepare_pair(src_vertices, tar_vertices, cfg)
+    params = init_twist(k_init) if init_params is None else jnp.asarray(init_params)
+    optimizer = optax.adam(learning_rate=lr_schedule(cfg))
+    opt_state = optimizer.init(params)
+    step = make_step(cfg, data, optimizer)
+
+    @jax.jit
+    def run_block(carry, keys):
+        return jax.lax.scan(step, carry, keys)
+
+    carry = (params, opt_state, data["src"])
+    history = []
+    n_blocks = -(-cfg.n_epochs // cfg.log_every)
+    all_keys = jax.random.split(k_run, n_blocks * cfg.log_every).reshape(
+        n_blocks, cfg.log_every, -1
+    )
+    for b in range(n_blocks):
+        carry, metrics = run_block(carry, all_keys[b])
+        history.append(jax.tree.map(np.asarray, metrics))
+        if callback is not None:
+            params_now = carry[0]
+            last = {k: v[-1] for k, v in history[-1].items()}
+            callback(min((b + 1) * cfg.log_every, cfg.n_epochs), params_now,
+                     last, np.asarray(carry[2]))
+    params = carry[0]
+    hist = {k: np.concatenate([h[k] for h in history])[: cfg.n_epochs]
+            for k in history[0]}
+    return params, hist
+
+
+def final_transform(params):
+    """(R, t) of the optimized twist, plus the 3x4 matrix the reference dumps
+    (test_demo...py:88-96)."""
+    R, t = se3.exp3(np.asarray(params).reshape(6))
+    R, t = np.asarray(R), np.asarray(t)
+    out = np.ones((3, 4), np.float64)
+    out[:3, :3] = R
+    out[:3, 3] = t
+    return R, t, out

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: registration iters/sec at 2048-point pairs.
+
+Measures the full classical-registration step — 20k-line rejection
+resampling + intersected-line robust metric forward+grad + Adam — as one
+jitted device program on the default backend (the real TPU chip under the
+driver). Baseline: the reference's ~3.5 iters/sec (≈280 ms/step = Sam+Inter
+at 20k lines from data/Computation_cost.png; see BASELINE.md).
+
+Prints ONE JSON line:
+{"metric": "registration_iters_per_sec_2048pts", "value": N,
+ "unit": "iters/sec", "vs_baseline": N, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 3.5
+N_POINTS = 2048
+N_LINES = 20000
+WARMUP = 5
+ITERS = 30
+
+
+def _load_pair():
+    """Reference sample pair when mounted (read-only), synthetic blob else."""
+    base = "/root/reference/code/sample_data/challenge_data"
+    try:
+        from a_robust_registration_loss_tpu.data import objio
+
+        v1, _ = objio.read_obj(os.path.join(base, "0_src_sample.obj"))
+        v2, _ = objio.read_obj(os.path.join(base, "0_tar_sample.obj"))
+        return v1, v2
+    except Exception:
+        rng = np.random.default_rng(0)
+        i = np.arange(4096) + 0.5
+        phi = np.arccos(1 - 2 * i / 4096)
+        th = np.pi * (1 + 5**0.5) * i
+        p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th), np.cos(phi)], -1)
+        p = (p * np.array([1.0, 0.7, 0.5])).astype(np.float32)
+        v1 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
+        v2 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
+        return v1, v2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from a_robust_registration_loss_tpu.train import classical
+
+    v1, v2 = _load_pair()
+    cfg = classical.ClassicalConfig(
+        n_lines=N_LINES, num_sample=N_POINTS, line_chunk=None, compute_chamfer=False
+    )
+    data = classical.prepare_pair(v1, v2, cfg)
+    optimizer = optax.adam(classical.lr_schedule(cfg))
+    params = classical.init_twist(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    step = jax.jit(classical.make_step(cfg, data, optimizer))
+
+    carry = (params, opt_state, data["src"])
+    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP + ITERS)
+
+    for i in range(WARMUP):
+        carry, metrics = step(carry, keys[i])
+    jax.block_until_ready(carry)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        carry, metrics = step(carry, keys[WARMUP + i])
+    jax.block_until_ready(carry)
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = ITERS / dt
+    out = {
+        "metric": "registration_iters_per_sec_2048pts",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "ms_per_iter": round(1000 * dt / ITERS, 3),
+        "n_lines": N_LINES,
+        "n_points": N_POINTS,
+        "backend": jax.default_backend(),
+        "final_loss": float(metrics["loss"]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
