@@ -1,0 +1,275 @@
+"""DCP (Deep Closest Point) as Flax modules.
+
+Re-design of the reference's dcp/model.py for TPU: channels-last (B, N, C)
+tensors, batched 3x3 SVD instead of the per-sample torch.svd loop
+(dcp/model.py:437-451), vectorized kNN graph features instead of flattened
+host-index gathers (dcp/model.py:55-78), and no hardcoded device
+(the reference's DGCNN pins torch.device('cuda'), dcp/model.py:59).
+
+Architecture parity with the reference:
+- PointNet embed: 5 pointwise convs 3-64-64-64-128-emb with GroupNorm(8/16)
+  + ReLU (dcp/model.py:266-291; GroupNorm because the intersection loss runs
+  per-sample — BatchNorm was deliberately swapped out, dcp/model.py:274-283).
+- DGCNN embed: kNN(k=20) edge features, 4 stages, concat, final conv
+  (dcp/model.py:294-331).
+- Transformer pointer: the "annotated transformer" encoder/decoder with the
+  reference's nonstandard LayerNorm and no dropout (dcp/model.py:81-263),
+  cross-attending both directions and added residually (dcp/model.py:373-401,
+  491-513).
+- Heads: SVD (soft correspondences + Kabsch, dcp/model.py:405-459) and MLP
+  (quaternion, dcp/model.py:334-362). Identity pointer returns inputs
+  unchanged (dcp/model.py:365-370 — the residual add then doubles the
+  embedding, a reference quirk preserved).
+
+forward(src, tgt) -> (R_ab, t_ab, R_ba, t_ba) with ba = inverse(ab) unless
+cycle (dcp/model.py:491-513).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from a_robust_registration_loss_tpu.models.common import (
+    TorchGroupNorm,
+    TorchLayerNorm,
+    quat2mat,
+    svd_orientation,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class DCPConfig:
+    """Mirrors the reference CLI flags (dcp/Train_DCP.py:712-760)."""
+
+    emb_nn: Literal["pointnet", "dgcnn"] = "dgcnn"
+    pointer: Literal["identity", "transformer"] = "transformer"
+    head: Literal["mlp", "svd"] = "svd"
+    emb_dims: int = 512
+    n_blocks: int = 1
+    n_heads: int = 4
+    ff_dims: int = 1024
+    dgcnn_k: int = 20
+    cycle: bool = False
+
+
+class PointNetEmb(nn.Module):
+    emb_dims: int = 512
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, 3) -> (B, N, emb)
+        for width, groups in [(64, 8), (64, 8), (64, 8), (128, 16),
+                              (self.emb_dims, 16)]:
+            x = nn.Dense(width, use_bias=False)(x)
+            x = TorchGroupNorm(groups)(x)
+            x = nn.relu(x)
+        return x
+
+
+def knn_graph_feature(x, k: int):
+    """Edge features [x_j - x_i ... wait — reference concatenates
+    (neighbor_feature, x_i) (dcp/model.py:55-78), NOT the DGCNN paper's
+    (x_j - x_i, x_i); replicated exactly. x: (B, N, C) -> (B, N, k, 2C)."""
+    d = -2 * jnp.matmul(x, jnp.swapaxes(x, -1, -2), precision=_HI)
+    sq = jnp.sum(x**2, axis=-1)
+    d = -(d + sq[..., :, None] + sq[..., None, :])  # negative sqr distance
+    _, idx = jax.lax.top_k(d, k)  # (B, N, k)
+    B, N, C = x.shape
+    feat = jnp.take_along_axis(x[:, None], idx[..., None], axis=2)  # (B, N, k, C)
+    xi = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
+    return jnp.concatenate([feat, xi], axis=-1)
+
+
+class DGCNNEmb(nn.Module):
+    emb_dims: int = 512
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, 3) -> (B, N, emb)
+        g = knn_graph_feature(x, self.k)  # (B, N, k, 6)
+        outs = []
+        widths = [(64, 8), (64, 8), (128, 8), (256, 16)]
+        h = g
+        for width, groups in widths:
+            h = nn.Dense(width, use_bias=False)(h)
+            h = TorchGroupNorm(groups)(h)
+            h = nn.relu(h)
+            outs.append(jnp.max(h, axis=2))  # max over k neighbors
+        cat = jnp.concatenate(outs, axis=-1)  # (B, N, 512)
+        h = nn.Dense(self.emb_dims, use_bias=False)(cat)
+        h = TorchGroupNorm(16)(h)
+        return nn.relu(h)
+
+
+class MultiHeadAttention(nn.Module):
+    n_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d_k = self.d_model // self.n_heads
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+
+        def proj(x, name, n):
+            y = nn.Dense(self.d_model, name=name)(x)
+            return y.reshape(B, n, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+        q = proj(q, "wq", Nq)
+        k = proj(k, "wk", Nk)
+        v = proj(v, "wv", Nk)
+        scores = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) / jnp.sqrt(
+            jnp.asarray(d_k, q.dtype)
+        )
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.matmul(attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
+        return nn.Dense(self.d_model, name="wo")(out)
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(x)))
+
+
+class EncoderLayer(nn.Module):
+    cfg: DCPConfig
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(
+            *(lambda y: (y, y, y))(TorchLayerNorm()(x))
+        )
+        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims)(TorchLayerNorm()(x))
+
+
+class DecoderLayer(nn.Module):
+    cfg: DCPConfig
+
+    @nn.compact
+    def __call__(self, x, memory):
+        y = TorchLayerNorm()(x)
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(y, y, y)
+        y = TorchLayerNorm()(x)
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(y, memory, memory)
+        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims)(TorchLayerNorm()(x))
+
+
+class TransformerPointer(nn.Module):
+    """Cross-directional encoder/decoder pointer (dcp/model.py:373-401):
+    src_embedding' = Dec(src | Enc(tgt)), tgt_embedding' = Dec(tgt | Enc(src))."""
+
+    cfg: DCPConfig
+
+    def setup(self):
+        self.enc_layers = [EncoderLayer(self.cfg, name=f"enc{i}")
+                           for i in range(self.cfg.n_blocks)]
+        self.dec_layers = [DecoderLayer(self.cfg, name=f"dec{i}")
+                           for i in range(self.cfg.n_blocks)]
+        self.enc_norm = TorchLayerNorm()
+        self.dec_norm = TorchLayerNorm()
+
+    def _encode(self, x):
+        for l in self.enc_layers:
+            x = l(x)
+        return self.enc_norm(x)
+
+    def _decode(self, x, memory):
+        for l in self.dec_layers:
+            x = l(x, memory)
+        return self.dec_norm(x)
+
+    def __call__(self, src_emb, tgt_emb):
+        tgt_p = self._decode(tgt_emb, self._encode(src_emb))
+        src_p = self._decode(src_emb, self._encode(tgt_emb))
+        return src_p, tgt_p
+
+
+class SVDHead(nn.Module):
+    """Soft correspondences + differentiable Kabsch (dcp/model.py:405-459)."""
+
+    cfg: DCPConfig
+
+    @nn.compact
+    def __call__(self, src_emb, tgt_emb, src, tgt):
+        # src_emb/tgt_emb: (B, N, d); src/tgt: (B, N, 3)
+        d_k = src_emb.shape[-1]
+        scores = jnp.matmul(src_emb, jnp.swapaxes(tgt_emb, -1, -2)) / jnp.sqrt(
+            jnp.asarray(d_k, src_emb.dtype)
+        )
+        scores = jax.nn.softmax(scores, axis=2)  # over tgt points
+        src_corr = jnp.matmul(scores, tgt, precision=_HI)  # (B, N, 3)
+        src_c = src - src.mean(axis=1, keepdims=True)
+        corr_c = src_corr - src_corr.mean(axis=1, keepdims=True)
+        H = jnp.einsum("bnc,bnd->bcd", src_c, corr_c, precision=_HI)
+        R = svd_orientation(H)
+        t = (-jnp.einsum("bij,bj->bi", R, src.mean(axis=1))
+             + src_corr.mean(axis=1))
+        return R, t
+
+
+class MLPHead(nn.Module):
+    """Global-pool quaternion head (dcp/model.py:334-362)."""
+
+    cfg: DCPConfig
+
+    @nn.compact
+    def __call__(self, src_emb, tgt_emb, src, tgt):
+        e = jnp.concatenate([src_emb, tgt_emb], axis=-1)  # (B, N, 2d)
+        e = jnp.max(e, axis=1)  # (B, 2d)
+        d = self.cfg.emb_dims
+        for width in [d // 2, d // 4, d // 8]:
+            e = nn.Dense(width)(e)
+            e = TorchGroupNorm(8)(e)
+            e = nn.relu(e)
+        quat = nn.Dense(4)(e)
+        quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        t = nn.Dense(3)(e)
+        return quat2mat(quat), t
+
+
+class DCP(nn.Module):
+    """forward(src, tgt) with channels-last (B, N, 3) point clouds."""
+
+    cfg: DCPConfig = DCPConfig()
+
+    def setup(self):
+        if self.cfg.emb_nn == "pointnet":
+            self.emb_nn = PointNetEmb(self.cfg.emb_dims)
+        else:
+            self.emb_nn = DGCNNEmb(self.cfg.emb_dims, self.cfg.dgcnn_k)
+        if self.cfg.pointer == "transformer":
+            self.pointer = TransformerPointer(self.cfg)
+        else:
+            self.pointer = None
+        if self.cfg.head == "svd":
+            self.head = SVDHead(self.cfg)
+        else:
+            self.head = MLPHead(self.cfg)
+
+    def __call__(self, src, tgt):
+        src_emb = self.emb_nn(src)
+        tgt_emb = self.emb_nn(tgt)
+        if self.pointer is not None:
+            src_p, tgt_p = self.pointer(src_emb, tgt_emb)
+        else:
+            src_p, tgt_p = src_emb, tgt_emb  # Identity quirk: residual doubles
+        src_emb = src_emb + src_p
+        tgt_emb = tgt_emb + tgt_p
+        R_ab, t_ab = self.head(src_emb, tgt_emb, src, tgt)
+        if self.cfg.cycle:
+            R_ba, t_ba = self.head(tgt_emb, src_emb, tgt, src)
+        else:
+            R_ba = jnp.swapaxes(R_ab, -1, -2)
+            t_ba = -jnp.einsum("bij,bj->bi", R_ba, t_ab)
+        return R_ab, t_ab, R_ba, t_ba

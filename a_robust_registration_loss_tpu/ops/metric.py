@@ -117,14 +117,37 @@ def neighborhood_delta(point_neis):
 
 
 def find_intersections(point_neis, lines, kmax: int = 4,
-                       line_chunk: Optional[int] = None) -> Intersections:
+                       line_chunk: Optional[int] = None,
+                       backend: str = "xla",
+                       interpret: bool = False) -> Intersections:
     """Stage 1 of the metric (reference: loss.py:68-112) for one sample.
 
     point_neis: (F, nnei*3) flattened neighborhoods; lines: (L, 6).
     ``line_chunk`` bounds the O(chunk * F * nnei) working set (the reference
     materializes the full O(L*F*nnei) tensor, which is why it needs >=15 GB,
     README.md:8); chunking keeps peak memory flat with identical results.
+
+    ``backend="pallas"`` uses the fused TPU kernel
+    (ops/pallas/intersect.py): one VMEM-streamed pass, nothing O(L*F) in HBM.
+    ``interpret`` runs that kernel in interpreter mode (CPU tests).
     """
+    if backend == "pallas":
+        from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
+
+        if kmax != PK.KMAX:
+            raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
+        delta = neighborhood_delta(jax.lax.stop_gradient(point_neis))
+        count, slot_idx, slot_d2 = PK.intersect_stage1(
+            point_neis, lines, delta, interpret=interpret
+        )
+        F = point_neis.shape[0]
+        filled = slot_idx < F
+        slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
+        d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
+        w = d / jnp.sum(d, -1, keepdims=True)
+        w = jnp.where(filled[..., None], w, 0.0)
+        return Intersections(count, slot_idx, w)
+
     point_neis = jax.lax.stop_gradient(point_neis)
     lines = jax.lax.stop_gradient(lines)
     F = point_neis.shape[0]
@@ -228,7 +251,8 @@ def intersection_loss_from_slots(pts1, inter1: Intersections,
 
 
 def intersection_loss(point_neis1, point_neis2, lines, kmin: int = 1,
-                      kmax: int = 4, line_chunk: Optional[int] = None):
+                      kmax: int = 4, line_chunk: Optional[int] = None,
+                      backend: str = "xla", interpret: bool = False):
     """The whole metric for one sample (reference:
     cal_loss_intersection_batch_whole_median_pts_lines, loss.py:170-232,
     with (s_m, s_n, e_m, e_n) == (kmin, kmin, kmax+1, kmax+1); every
@@ -240,20 +264,22 @@ def intersection_loss(point_neis1, point_neis2, lines, kmin: int = 1,
     its deep-learning harnesses call it on [j:j+1] slices — batching here is
     ``jax.vmap`` over this function, preserving the per-sample contract.
     """
-    inter1 = find_intersections(point_neis1, lines, kmax, line_chunk)
-    inter2 = find_intersections(point_neis2, lines, kmax, line_chunk)
+    inter1 = find_intersections(point_neis1, lines, kmax, line_chunk, backend, interpret)
+    inter2 = find_intersections(point_neis2, lines, kmax, line_chunk, backend, interpret)
     pts1 = reconstruct_intersection_points(point_neis1, inter1)
     pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)
 
 
 def intersection_loss_batch(point_neis1, point_neis2, lines, kmin: int = 1,
-                            kmax: int = 4, line_chunk: Optional[int] = None):
+                            kmax: int = 4, line_chunk: Optional[int] = None,
+                            backend: str = "xla", interpret: bool = False):
     """Batched metric: (B, F, 9) x (B, F2, 9) x (B, L, 6) -> ((B,), (B,)).
 
     Mirrors the harnesses' per-sample loops (e.g. dcp/Train_DCP.py:266-270)
     as a vmap — per-sample medians and normalizations, exactly like B=1 calls.
     """
     return jax.vmap(
-        lambda a, b, l: intersection_loss(a, b, l, kmin, kmax, line_chunk)
+        lambda a, b, l: intersection_loss(a, b, l, kmin, kmax, line_chunk,
+                                          backend, interpret)
     )(point_neis1, point_neis2, lines)
