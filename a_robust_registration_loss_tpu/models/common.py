@@ -16,9 +16,10 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def quat2mat(quat):
-    """Unit quaternion (w, x, y, z) -> rotation matrix
-    (reference: utils.py:52-67)."""
-    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    """Unit quaternion -> rotation matrix with the reference's (x, y, z, w)
+    component ordering — NOT the usual (w, x, y, z)
+    (reference: utils.py:52-67; consumed by DCP's MLPHead, dcp/model.py:362)."""
+    x, y, z, w = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
     B = quat.shape[:-1]
     w2, x2, y2, z2 = w * w, x * x, y * y, z * z
     wx, wy, wz = w * x, w * y, w * z

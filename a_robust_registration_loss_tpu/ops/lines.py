@@ -54,30 +54,54 @@ def sample_lines(key, r, center, n: int):
 def triangle_hits(face_vertices, lines):
     """Coarse line-vs-triangle-soup hit counts (reference: loss.py:265-322).
 
-    face_vertices: (F, 9) triangles as [p0|p1|p2]; lines: (L, 6).
+    face_vertices: (F, 9) triangles as [p0|p1|p2] with F small and static
+    (the only consumer is the 12-face bbox mesh); lines: (L, 6).
     Plane intersection parameter via face normals, then the barycentric
     parallelogram-area test A>0 and B>0 and C>0 and A+B+C <= S.
     Returns (L,) int32 hit counts (the line is infinite: t may be negative).
-    """
-    p0, p1, p2 = face_vertices[:, 0:3], face_vertices[:, 3:6], face_vertices[:, 6:9]
-    normals = jnp.cross(p1 - p0, p2 - p0)  # (F, 3)
-    S = jnp.linalg.norm(normals, axis=-1)
-    n_hat = normals / jnp.maximum(S, 1e-12)[:, None]
 
-    dirs = lines[:, None, :3]  # (L, 1, 3)
-    x0 = lines[:, None, 3:]
-    t = jnp.sum(n_hat[None] * (p0[None] - x0), -1) / (
-        jnp.sum(n_hat[None] * dirs, -1) + 1e-12
-    )  # (L, F)
-    inter = t[..., None] * dirs + x0  # (L, F, 3)
-    cA = inter - p0[None]
-    cB = inter - p1[None]
-    cC = inter - p2[None]
-    bA = jnp.linalg.norm(jnp.cross(cB, cC), axis=-1)
-    bB = jnp.linalg.norm(jnp.cross(cC, cA), axis=-1)
-    bC = jnp.linalg.norm(jnp.cross(cA, cB), axis=-1)
-    label = (bA > 0) & (bB > 0) & (bC > 0) & (bA + bB + bC <= S[None])
-    return jnp.sum(label, axis=-1).astype(jnp.int32)
+    Implementation: statically unrolled over the F triangles with flat (L,)
+    component arrays — an (L, F, 3) formulation puts the 3-axis in lanes
+    (2% VPU utilization) and costs minutes of XLA compile time on TPU.
+    """
+    F = face_vertices.shape[0]
+    dx, dy, dz = lines[:, 0], lines[:, 1], lines[:, 2]
+    ox, oy, oz = lines[:, 3], lines[:, 4], lines[:, 5]
+    count = jnp.zeros(lines.shape[0], jnp.int32)
+
+    def cross3(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    for f in range(F):
+        p0 = [face_vertices[f, c] for c in range(3)]
+        p1 = [face_vertices[f, 3 + c] for c in range(3)]
+        p2 = [face_vertices[f, 6 + c] for c in range(3)]
+        e1 = [p1[c] - p0[c] for c in range(3)]
+        e2 = [p2[c] - p0[c] for c in range(3)]
+        n = cross3(e1, e2)  # scalars
+        S = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+        inv = 1.0 / jnp.maximum(S, 1e-12)
+        nh = [n[c] * inv for c in range(3)]
+
+        denom = nh[0] * dx + nh[1] * dy + nh[2] * dz + 1e-12  # (L,)
+        tnum = nh[0] * (p0[0] - ox) + nh[1] * (p0[1] - oy) + nh[2] * (p0[2] - oz)
+        t = tnum / denom
+        ix, iy, iz = t * dx + ox, t * dy + oy, t * dz + oz  # (L,) each
+
+        cA = (ix - p0[0], iy - p0[1], iz - p0[2])
+        cB = (ix - p1[0], iy - p1[1], iz - p1[2])
+        cC = (ix - p2[0], iy - p2[1], iz - p2[2])
+
+        def area(u, v):
+            w = cross3(u, v)
+            return jnp.sqrt(w[0] ** 2 + w[1] ** 2 + w[2] ** 2)
+
+        bA, bB, bC = area(cB, cC), area(cC, cA), area(cA, cB)
+        label = (bA > 0) & (bB > 0) & (bC > 0) & (bA + bB + bC <= S)
+        count = count + label.astype(jnp.int32)
+    return count
 
 
 def resample_lines(key, r, center, n: int, vertices1, vertices2,
@@ -87,21 +111,20 @@ def resample_lines(key, r, center, n: int, vertices1, vertices2,
 
     vertices1/2: (N, 3). Returns (n, 6); the tail stays zero-filled if the
     budget is exhausted (zero lines intersect nothing downstream).
+
+    Implementation: the reference's 10 sequential rounds with a host-synced
+    counter are equivalent to drawing the whole 10n-candidate stream at once
+    and keeping the first n accepted — so this is one flat sample + one
+    cumsum + one scatter. (The looped formulation costs minutes of XLA
+    compile time for the 10 chained scatters; this compiles in seconds and
+    produces the same first-accepted-first-stored distribution.)
     """
     fvs1 = G.bbox_face_vertices(vertices1[None])[0]  # (12, 9)
     fvs2 = G.bbox_face_vertices(vertices2[None])[0]
-    keys = jax.random.split(key, rounds)
-
-    def body(i, carry):
-        buf, cnt = carry
-        new = sample_lines(keys[i], r, center, n)
-        ok = (triangle_hits(fvs1, new) > 0) & (triangle_hits(fvs2, new) > 0)
-        pos = cnt + jnp.cumsum(ok.astype(jnp.int32)) - 1
-        idx = jnp.where(ok & (pos < n), pos, n)  # n == dropped
-        buf = buf.at[idx].set(new, mode="drop")
-        cnt = jnp.minimum(cnt + jnp.sum(ok.astype(jnp.int32)), n)
-        return buf, cnt
-
+    total = rounds * n
+    cand = sample_lines(key, r, center, total)
+    ok = (triangle_hits(fvs1, cand) > 0) & (triangle_hits(fvs2, cand) > 0)
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    idx = jnp.where(ok & (pos < n), pos, n)  # n == dropped
     buf = jnp.zeros((n, 6), vertices1.dtype)
-    buf, _ = jax.lax.fori_loop(0, rounds, body, (buf, jnp.int32(0)))
-    return buf
+    return buf.at[idx].set(cand, mode="drop")

@@ -49,6 +49,7 @@ class ClassicalConfig:
     kmin: int = 1
     kmax: int = 4
     line_chunk: Optional[int] = 4096
+    backend: str = "xla"          # "pallas" = fused TPU stage-1 kernel
     log_every: int = 10           # host fetch cadence (obj/scalar dumps)
     seed: int = 123               # test_demo...py:154
     compute_chamfer: bool = True
@@ -124,7 +125,8 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
         def loss_fn(p):
             src_t, neis_t = apply_twist(p, data["src"], data["neis_src"])
             loss, valid = M.intersection_loss(
-                neis_t, neis_tar, lines, cfg.kmin, cfg.kmax, cfg.line_chunk
+                neis_t, neis_tar, lines, cfg.kmin, cfg.kmax, cfg.line_chunk,
+                backend=cfg.backend,
             )
             return loss, (src_t, valid)
 

@@ -58,7 +58,8 @@ def main():
 
     v1, v2 = _load_pair()
     cfg = classical.ClassicalConfig(
-        n_lines=N_LINES, num_sample=N_POINTS, line_chunk=None, compute_chamfer=False
+        n_lines=N_LINES, num_sample=N_POINTS, line_chunk=None,
+        compute_chamfer=False, backend="pallas",
     )
     data = classical.prepare_pair(v1, v2, cfg)
     optimizer = optax.adam(classical.lr_schedule(cfg))
@@ -89,6 +90,7 @@ def main():
         "n_lines": N_LINES,
         "n_points": N_POINTS,
         "backend": jax.default_backend(),
+        "stage1": "pallas",
         "final_loss": float(metrics["loss"]),
     }
     print(json.dumps(out))
