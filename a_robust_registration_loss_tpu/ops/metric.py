@@ -30,6 +30,11 @@ Faithful quirks (see SURVEY.md §7 quirks ledger):
   weighted combination (loss.py:155-163); both clouds identically scaled.
 - Weights are detached (loss.py:92,112); the median is detached
   (loss.py:223-224).
+- If the masked median is exactly 0 (possible when slot points coincide,
+  e.g. duplicated neighborhoods), welsch(0, 0) = 0/0 = NaN and the loss is
+  NaN while valid stays True — exactly what the reference's Welsch1 does
+  with torch.median == 0. Faithfully replicated, silently; callers that
+  need a hard guard should check jnp.isfinite(loss) alongside valid.
 
 Knowing divergences: NaN in stage 1 raises no process exit (the reference
 calls exit(0), loss.py:89-91); the no-intersection case returns

@@ -131,11 +131,16 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
             return loss, (src_t, valid)
 
         (loss, (src_t, valid)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        # reference skips the optimizer step when the loss is missing
-        # (test_demo...py:63); masked here instead of crashing
+        # reference skips the optimizer step entirely when the loss is missing
+        # (test_demo...py:63-66); masked here: params, Adam moments and the
+        # schedule step all stay frozen on an invalid epoch
         grads = jnp.where(valid, grads, 0.0)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jnp.where(valid, new_params, params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(valid, new, old), new_opt_state, opt_state
+        )
         if cfg.compute_chamfer:
             chamfer = G.chamfer_distance(src_t[None], tar[None])
         else:
@@ -174,20 +179,21 @@ def run(src_vertices, tar_vertices, cfg: ClassicalConfig = ClassicalConfig(),
     carry = (params, opt_state, data["src"])
     history = []
     n_blocks = -(-cfg.n_epochs // cfg.log_every)
-    all_keys = jax.random.split(k_run, n_blocks * cfg.log_every).reshape(
-        n_blocks, cfg.log_every, -1
-    )
+    all_keys = jax.random.split(k_run, cfg.n_epochs)
+    done = 0
     for b in range(n_blocks):
-        carry, metrics = run_block(carry, all_keys[b])
+        # the final block runs only the remaining epochs, so params and
+        # history always reflect exactly cfg.n_epochs optimizer steps
+        block = all_keys[done : min(done + cfg.log_every, cfg.n_epochs)]
+        carry, metrics = run_block(carry, block)
+        done += block.shape[0]
         history.append(jax.tree.map(np.asarray, metrics))
         if callback is not None:
             params_now = carry[0]
             last = {k: v[-1] for k, v in history[-1].items()}
-            callback(min((b + 1) * cfg.log_every, cfg.n_epochs), params_now,
-                     last, np.asarray(carry[2]))
+            callback(done, params_now, last, np.asarray(carry[2]))
     params = carry[0]
-    hist = {k: np.concatenate([h[k] for h in history])[: cfg.n_epochs]
-            for k in history[0]}
+    hist = {k: np.concatenate([h[k] for h in history]) for k in history[0]}
     return params, hist
 
 
