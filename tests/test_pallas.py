@@ -1,0 +1,172 @@
+"""Pallas-kernel equivalence tests (interpret mode on CPU).
+
+SURVEY.md §7 step 5 demands the fused stage-1 kernel
+(ops/pallas/intersect.py) be "equivalence-tested vs the jnp reference at
+fp32 tolerance". These tests cover the cases where such kernels break
+silently: F / L not multiples of the tile sizes, per-line hit counts
+exceeding kmax, and hits straddling face-tile boundaries (the cross-tile
+rank carry at intersect.py:89).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from a_robust_registration_loss_tpu.ops import geometry as G
+from a_robust_registration_loss_tpu.ops import lines as L
+from a_robust_registration_loss_tpu.ops import metric as M
+from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
+
+
+def _sphere_cloud(n, rng, noise=0.0):
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    pts = np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)], -1
+    ).astype(np.float32)
+    if noise:
+        pts = pts + rng.standard_normal(pts.shape).astype(np.float32) * noise
+    return pts
+
+
+def _neighs(pts, num_sample):
+    return np.asarray(
+        G.sample_neighs(jnp.asarray(pts), num_sample=num_sample, num_neigh=3)
+    ).reshape(num_sample, 9)
+
+
+def _random_problem(seed=7, f1=333, f2=301, n_lines=257):
+    """F and L deliberately NOT multiples of any tile size."""
+    rng = np.random.default_rng(seed)
+    pts1 = _sphere_cloud(400, rng, noise=0.01)
+    pts2 = _sphere_cloud(410, rng, noise=0.01)
+    neis1 = _neighs(pts1, f1)
+    neis2 = _neighs(pts2, f2)
+    lines = np.asarray(
+        L.resample_lines(jax.random.PRNGKey(3), jnp.float32(3.0),
+                         jnp.zeros(3, jnp.float32), n_lines,
+                         jnp.asarray(pts1), jnp.asarray(pts2))
+    )
+    return neis1, neis2, lines
+
+
+def _compare_intersections(neis, lines, tl, tf, w_atol=3e-4):
+    """Run both backends' stage 1 and assert count/slot_idx equality and
+    slot weight closeness."""
+    neis_j = jnp.asarray(neis)
+    lines_j = jnp.asarray(lines)
+    ref = M.find_intersections(neis_j, lines_j, backend="xla")
+
+    delta = M.neighborhood_delta(neis_j)
+    count, slot_idx, slot_d2 = PK.intersect_stage1(
+        neis_j, lines_j, delta, tl=tl, tf=tf, interpret=True
+    )
+    F = neis.shape[0]
+    filled = slot_idx < F
+    slot_idx = jnp.where(filled, slot_idx, F)
+    d = jnp.sqrt(slot_d2 + 2e-4)
+    w = d / jnp.sum(d, -1, keepdims=True)
+    w = jnp.where(filled[..., None], w, 0.0)
+
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(ref.count))
+    np.testing.assert_array_equal(np.asarray(slot_idx), np.asarray(ref.slot_idx))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref.slot_w),
+                               rtol=1e-4, atol=w_atol)
+    return ref
+
+
+class TestStage1Equivalence:
+    def test_non_multiple_tiles(self):
+        """F=333, L=257 with 128-tiles: 3x3 grid, ragged last tiles on both
+        axes; the face sweep exercises the cross-tile rank carry."""
+        neis1, neis2, lines = _random_problem()
+        ref = _compare_intersections(neis1, lines, tl=128, tf=128)
+        # the problem must actually have intersections to be a real test
+        assert int(np.asarray(ref.count).sum()) > 50
+        _compare_intersections(neis2, lines, tl=128, tf=128)
+
+    def test_single_tile(self):
+        neis1, _, lines = _random_problem(seed=11, f1=128, n_lines=128)
+        _compare_intersections(neis1, lines, tl=128, tf=128)
+
+    def test_counts_exceed_kmax_across_face_tiles(self):
+        """One line hitting 6 neighborhoods at face indices straddling the
+        tf=128 tile boundaries; count must be the uncapped 6 and the slots
+        the first 4 ascending indices — requires the rank carry to be exact
+        across tiles."""
+        F = 384
+        hit_faces = [3, 126, 127, 128, 200, 310]  # straddles 128 and 256
+        rng = np.random.default_rng(0)
+        # all faces far from the x-axis line by default
+        centers = rng.standard_normal((F, 3)).astype(np.float32)
+        centers[:, 1] += 5.0
+        # hit faces: tight neighborhoods centered on the x-axis
+        for k, f in enumerate(hit_faces):
+            centers[f] = [0.5 * k, 0.0, 0.0]
+        # neighbors spread ALONG the line direction (x): large pairwise
+        # spacing (big delta) but near-zero perpendicular distances
+        spread = np.array(
+            [[0.0, 0.0, 0.0], [0.1, 0.001, 0.0], [-0.1, 0.0, 0.001]], np.float32
+        )
+        neis = (centers[:, None, :] + spread[None]).reshape(F, 9)
+        line = np.array([[1.0, 0.0, 0.0, -10.0, 0.0, 0.0]], np.float32)
+        lines = np.repeat(line, 129, axis=0)  # L=129: ragged line tile too
+        lines[1:, 4] = 50.0  # all other lines miss everything
+
+        # the line passes exactly through the points, so perpendicular d^2 is
+        # catastrophic-cancellation-dominated (|AC|^2 ~ 1e2, true perp^2
+        # ~ 1e-6): both backends' weights carry ~1% rounding noise; this is a
+        # count/slot-ordering test, so compare weights loosely here.
+        ref = _compare_intersections(neis, lines, tl=128, tf=128, w_atol=2e-2)
+        count = np.asarray(ref.count)
+        slot_idx = np.asarray(ref.slot_idx)
+        assert count[0] == len(hit_faces)
+        np.testing.assert_array_equal(slot_idx[0], hit_faces[:4])
+        assert (count[1:] == 0).all()
+
+    def test_default_tiles_padding(self):
+        """Default (1024, 512) tiles with tiny F/L: heavy padding on both
+        axes must not leak phantom intersections."""
+        neis1, _, lines = _random_problem(seed=5, f1=100, n_lines=77)
+        _compare_intersections(neis1, lines, tl=1024, tf=512)
+
+
+class TestEndToEndEquivalence:
+    def test_loss_matches_xla(self):
+        """The full metric through the pallas backend (the exact path
+        bench.py measures) vs the golden-tested XLA path."""
+        neis1, neis2, lines = _random_problem(seed=13)
+        loss_x, valid_x = M.intersection_loss(
+            jnp.asarray(neis1), jnp.asarray(neis2), jnp.asarray(lines),
+            backend="xla",
+        )
+        loss_p, valid_p = M.intersection_loss(
+            jnp.asarray(neis1), jnp.asarray(neis2), jnp.asarray(lines),
+            backend="pallas", interpret=True,
+        )
+        assert bool(valid_x) and bool(valid_p)
+        np.testing.assert_allclose(float(loss_p), float(loss_x),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_gradient_matches_xla(self):
+        """Gradients w.r.t. the source neighborhoods flow only through the
+        differentiable reconstruction, which both backends share — but the
+        detached weights differ by kernel rounding, so check closeness."""
+        neis1, neis2, lines = _random_problem(seed=17, f1=200, f2=200,
+                                              n_lines=150)
+
+        def loss_with(backend):
+            def f(n1):
+                l, _ = M.intersection_loss(
+                    n1, jnp.asarray(neis2), jnp.asarray(lines),
+                    backend=backend, interpret=(backend == "pallas"),
+                )
+                return l
+            return jax.grad(f)(jnp.asarray(neis1))
+
+        g_x = np.asarray(loss_with("xla"))
+        g_p = np.asarray(loss_with("pallas"))
+        np.testing.assert_allclose(g_p, g_x, rtol=5e-3, atol=1e-5)
