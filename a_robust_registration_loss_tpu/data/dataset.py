@@ -1,0 +1,268 @@
+"""The unified registration-pair dataset: dict contract, adapters, loaders.
+
+TPU-native re-design of the reference's data layer
+(exps_deep_learning/pre_dataloader.py:27-368). Same on-disk artifact set —
+``{stem}_src_sample.obj`` / ``{stem}_tar_sample.obj`` point clouds,
+``*_sample_normals.obj`` companions, ``*_neigh.bin`` float32 neighbor
+buffers, ``*transform*.bin`` float64 (3, 4) GT transforms — and the same
+emitted dict keys, but numpy end to end (no torch Dataset/DataLoader): a
+plain indexable pair list plus a deterministic batching iterator whose
+output is ready for ``jax.device_put`` with a batch sharding.
+
+Conventions (all row-vector: ``tar ≈ src @ R + T`` in the centered frames):
+- ``R``/``T``: GT mapping centered-src -> centered-tar.
+- ``R_inv``/``T_inv``: the true inverse mapping. The reference's numpy
+  ``.transpose(0, 1)`` calls are identity no-ops, which left its ``R_inv``
+  equal to ``R`` (pre_dataloader.py:146-151); ours is the actual inverse —
+  knowing fix, divergence documented (the reference only ever used R_inv for
+  logging the ba direction).
+- ``igt``: (4, 4) column-vector-convention transform mapping centered-tar ->
+  centered-src, i.e. ``igt = [[R, -R @ T], [0, 1]]`` exactly as the
+  reference builds it (pre_dataloader.py:127-132); ``inverse(igt)`` applied
+  in column convention realizes src -> tar. Consumed by FMR's solver/eval.
+- ``centers``: the mean of the *centered* target cloud (≈ 0) — faithful to
+  the reference quirk (pre_dataloader.py:125: computed after centering),
+  because it is what the harnesses pass as the line-sampler center.
+- DCP adapter: rotations transposed to column convention
+  (R_dcp = R.T, matching pre_dataloader.py:162-173) so they compare directly
+  against DCP's predicted ``R_ab`` (p' = R_ab @ p + t). Points stay
+  channels-LAST (our models are (B, N, 3); the reference's channels-first
+  transposes are torch-layout artifacts, SURVEY.md §2.4).
+- FMR adapter: truncate both clouds to the common min length
+  (pre_dataloader.py:174-180).
+
+The reference's dead re-read of the src file into V_tar_sample
+(pre_dataloader.py:84-85) is dropped (quirks ledger: fix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from a_robust_registration_loss_tpu.data import objio
+
+
+def bounding_box_corners_np(v):
+    """8 AABB corners, same ordering as ops.geometry.bounding_box_corners
+    (corner 0 = max, corner 7 = min; diagonal = ||c0 - c7||)."""
+    mx, my, mz = v.max(0)
+    nx, ny, nz = v.min(0)
+    return np.array(
+        [[mx, my, mz], [mx, my, nz], [mx, ny, mz], [mx, ny, nz],
+         [nx, my, mz], [nx, my, nz], [nx, ny, mz], [nx, ny, nz]],
+        np.float32,
+    )
+
+
+def _normals_path(sample_path: str) -> str:
+    return sample_path.replace("sample", "sample_normals", 1)
+
+
+def _neigh_path(sample_path: str) -> str:
+    return sample_path.replace(".obj", "_neigh.bin", 1)
+
+
+def _transform_path(tar_sample_path: str) -> str:
+    return tar_sample_path.replace("tar_sample", "transform", 1).replace(
+        ".obj", ".bin", 1
+    )
+
+
+def load_pair(src_path: str, tar_path: str, dcp: bool = False,
+              fmr: bool = False) -> dict:
+    """One registration pair as the reference's dict contract
+    (pre_dataloader.py:78-181). All values float32 numpy.
+
+    Graceful degradation (divergence from the reference, which crashes):
+    missing ``*_sample_normals.obj`` companions yield zero normals (normals
+    only feed RPM-Net's PPF features), and a missing ``*transform*.bin``
+    yields identity GT (R = I, T = 0 in the original frames — GT only feeds
+    the monitoring metrics, never the unsupervised losses). The committed
+    reference sample data ships without either companion."""
+    v_src, _ = objio.read_obj(src_path)
+    v_tar, _ = objio.read_obj(tar_path)
+
+    def _read_normals(path, n):
+        if os.path.exists(path):
+            nrm, _ = objio.read_obj(path)
+            return nrm
+        return np.zeros((n, 3), np.float32)
+
+    normals_src = _read_normals(_normals_path(src_path), v_src.shape[0])
+    normals_tar = _read_normals(_normals_path(tar_path), v_tar.shape[0])
+    neighs_src = np.fromfile(_neigh_path(src_path), np.float32).reshape(-1, 3)
+    neighs_tar = np.fromfile(_neigh_path(tar_path), np.float32).reshape(-1, 3)
+
+    c_src = v_src.mean(0)
+    c_tar = v_tar.mean(0)
+    v_src = v_src - c_src
+    v_tar = v_tar - c_tar
+    neighs_src = neighs_src - c_src
+    neighs_tar = neighs_tar - c_tar
+    tar_box = bounding_box_corners_np(v_tar)
+
+    tpath = _transform_path(tar_path)
+    if os.path.exists(tpath):
+        gt = np.fromfile(tpath, np.float64).reshape(3, 4)
+    else:
+        gt = np.concatenate([np.eye(3), np.zeros((3, 1))], 1)
+    R = gt[:3, :3].astype(np.float64)
+    # re-express the translation in the centered frames
+    # (pre_dataloader.py:124): tar - c_tar = (src - c_src) @ R + T'
+    T = gt[:3, 3] + (-c_tar + c_src @ R)
+
+    igt = np.eye(4)
+    igt[:3, :3] = R
+    igt[:3, 3] = -R @ T
+
+    data = {
+        "points_tar_sample": v_tar.astype(np.float32),
+        "points_src_sample": v_src.astype(np.float32),
+        "normals_tar": normals_tar.astype(np.float32),
+        "normals_src": normals_src.astype(np.float32),
+        "tar_box": tar_box,
+        "centers": v_tar.mean(0).astype(np.float32),
+        "R": R.astype(np.float32),
+        "T": T.astype(np.float32),
+        "R_inv": R.T.astype(np.float32),
+        "T_inv": (-R @ T).astype(np.float32),
+        "points_based_neighs_src": neighs_src.astype(np.float32),
+        "points_based_neighs_tar": neighs_tar.astype(np.float32),
+        "igt": igt.astype(np.float32),
+    }
+    if dcp:
+        data["R"] = data["R"].T.copy()
+        data["R_inv"] = data["R_inv"].T.copy()
+        igt_d = data["igt"].copy()
+        igt_d[:3, :3] = igt_d[:3, :3].T
+        data["igt"] = igt_d
+    if fmr:
+        n = min(data["points_src_sample"].shape[0],
+                data["points_tar_sample"].shape[0])
+        data["points_tar_sample"] = data["points_tar_sample"][:n]
+        data["points_src_sample"] = data["points_src_sample"][:n]
+    return data
+
+
+class RegistrationPairs:
+    """Indexable pair dataset over path lists (the Dataset_2021_8_29 role)."""
+
+    def __init__(self, src_paths: Sequence[str], tar_paths: Sequence[str],
+                 dcp: bool = False, fmr: bool = False):
+        if len(src_paths) != len(tar_paths):
+            raise ValueError("src/tar path lists differ in length")
+        self.src_paths = list(src_paths)
+        self.tar_paths = list(tar_paths)
+        self.dcp = dcp
+        self.fmr = fmr
+
+    def __len__(self):
+        return len(self.src_paths)
+
+    def __getitem__(self, i: int) -> dict:
+        return load_pair(self.src_paths[i], self.tar_paths[i],
+                         dcp=self.dcp, fmr=self.fmr)
+
+
+def collate(items: List[dict]) -> dict:
+    """Stack a list of per-pair dicts into a batch dict (leading batch axis).
+    All pairs in a batch must share shapes (the reference's datasets are
+    fixed-size samples; its torch default_collate has the same requirement)."""
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class Loader:
+    """Deterministic batching iterator: shuffle + drop_last like the
+    reference's DataLoaders (pre_dataloader.py:220-233), but seeded
+    explicitly and epoch-indexed (fork-safe, reproducible)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                (self.seed, self.epoch)
+            ).permutation(n)
+        self.epoch += 1
+        for s in range(0, n, self.batch_size):
+            idx = order[s : s + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield collate([self.dataset[int(i)] for i in idx])
+
+
+def pair_lists_views(data_path: str, n_meshes: int, n_views: int):
+    """src_sample_{mesh}_{view}.obj layout (human/airplane datasets,
+    pre_dataloader.py:190-209)."""
+    src, tar = [], []
+    for m in range(n_meshes):
+        for v in range(n_views):
+            src.append(os.path.join(data_path, f"src_sample_{m}_{v}.obj"))
+            tar.append(os.path.join(data_path, f"tar_sample_{m}_{v}.obj"))
+    return src, tar
+
+
+def pair_lists_indexed(data_path: str, n: int):
+    """{i}_src_sample.obj layout (real/challenge datasets,
+    pre_dataloader.py:331-342 and sample_data/)."""
+    src = [os.path.join(data_path, f"{i}_src_sample.obj") for i in range(n)]
+    tar = [os.path.join(data_path, f"{i}_tar_sample.obj") for i in range(n)]
+    return src, tar
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    data_path: str = ""
+    layout: str = "indexed"        # "indexed" | "views"
+    n: int = 4                     # indexed: pair count
+    n_meshes: int = 110            # views layout (human defaults,
+    n_views: int = 50              #   pre_dataloader.py:192-195)
+    train_batch: int = 4           # pre_dataloader.py:222
+    test_batch: int = 1
+    train_count: Optional[int] = None   # cap on training pairs
+    test_count: Optional[int] = None
+    seed: int = 0
+    dcp: bool = False
+    fmr: bool = False
+
+
+def generate_datasets(cfg: DatasetConfig):
+    """(train Loader, test Loader) — the generate_datasets_* role
+    (pre_dataloader.py:190-368) with the path root as config instead of
+    hardcoded /data1 paths, and only existing files kept."""
+    if cfg.layout == "views":
+        src, tar = pair_lists_views(cfg.data_path, cfg.n_meshes, cfg.n_views)
+    else:
+        src, tar = pair_lists_indexed(cfg.data_path, cfg.n)
+    keep = [i for i, s in enumerate(src)
+            if os.path.exists(s) and os.path.exists(tar[i])]
+    src = [src[i] for i in keep]
+    tar = [tar[i] for i in keep]
+    n_train = cfg.train_count if cfg.train_count is not None else len(src)
+    train_ds = RegistrationPairs(src[:n_train], tar[:n_train],
+                                 dcp=cfg.dcp, fmr=cfg.fmr)
+    test_src = src[n_train:] or src[:cfg.test_count or len(src)]
+    test_tar = tar[n_train:] or tar[:cfg.test_count or len(tar)]
+    test_ds = RegistrationPairs(test_src, test_tar, dcp=cfg.dcp, fmr=cfg.fmr)
+    train = Loader(train_ds, cfg.train_batch, shuffle=True, drop_last=True,
+                   seed=cfg.seed)
+    test = Loader(test_ds, cfg.test_batch, shuffle=False, drop_last=False,
+                  seed=cfg.seed)
+    return train, test

@@ -1,0 +1,240 @@
+"""Data-layer tests: dataset dict contract round-trip on generated fixtures,
+the neighbor-precompute CLI, the batching loader, augmentation transforms
+(vs the jax se3 oracle), and PLY IO round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from a_robust_registration_loss_tpu.data import dataset as DS
+from a_robust_registration_loss_tpu.data import objio, plyio, precompute
+from a_robust_registration_loss_tpu.data import transforms as T
+from a_robust_registration_loss_tpu.se3 import se3
+
+
+def _cloud(n, rng, scale=1.0, offset=0.0):
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    th = np.pi * (1 + 5**0.5) * i
+    p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                  np.cos(phi)], -1)
+    return (p * scale + offset + rng.standard_normal(p.shape) * 0.01).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    """Two registration pairs in the reference's on-disk artifact layout
+    ({i}_src_sample.obj, companions, transform bins, neigh bins)."""
+    root = tmp_path_factory.mktemp("pairs")
+    rng = np.random.default_rng(42)
+    gts = []
+    for i in range(2):
+        src = _cloud(200, rng, offset=rng.standard_normal(3) * 0.5)
+        ang = 0.4 + 0.1 * i
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+             [0, 0, 1.0]])
+        Torig = rng.standard_normal(3) * 0.3
+        tar = (src.astype(np.float64) @ R + Torig).astype(np.float32)
+        objio.write_obj(str(root / f"{i}_src_sample.obj"), src)
+        objio.write_obj(str(root / f"{i}_tar_sample.obj"), tar)
+        # normals companions (content unit-z; the contract only ferries them)
+        nrm = np.tile(np.array([[0, 0, 1]], np.float32), (src.shape[0], 1))
+        objio.write_obj(str(root / f"{i}_src_sample_normals.obj"), nrm)
+        objio.write_obj(str(root / f"{i}_tar_sample_normals.obj"), nrm)
+        gt = np.concatenate([R, Torig[:, None]], axis=1)  # (3, 4)
+        gt.astype(np.float64).tofile(str(root / f"{i}_transform.bin"))
+        gts.append((R, Torig))
+    precompute.main(["--data_path", str(root), "--num_sample", "64"])
+    return root, gts
+
+
+class TestDatasetContract:
+    def test_keys_and_shapes(self, fixture_dir):
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"))
+        expected = {
+            "points_tar_sample", "points_src_sample", "normals_tar",
+            "normals_src", "tar_box", "centers", "R", "T", "R_inv", "T_inv",
+            "points_based_neighs_src", "points_based_neighs_tar", "igt",
+        }
+        assert set(d) == expected
+        assert d["points_src_sample"].shape == (200, 3)
+        assert d["tar_box"].shape == (8, 3)
+        assert d["points_based_neighs_src"].shape == (64 * 3, 3)
+        assert d["igt"].shape == (4, 4)
+        assert all(v.dtype == np.float32 for v in d.values())
+
+    def test_gt_transform_consistency(self, fixture_dir):
+        """Centered clouds must satisfy tar = src @ R + T, and the clouds
+        must be centered at zero."""
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"))
+        np.testing.assert_allclose(d["points_src_sample"].mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(d["points_tar_sample"].mean(0), 0, atol=1e-5)
+        pred = d["points_src_sample"] @ d["R"] + d["T"]
+        np.testing.assert_allclose(pred, d["points_tar_sample"], atol=1e-4)
+        # inverse mapping
+        back = d["points_tar_sample"] @ d["R_inv"] + d["T_inv"]
+        np.testing.assert_allclose(back, d["points_src_sample"], atol=1e-4)
+        # centers is the post-centering mean (~0) — reference quirk
+        np.testing.assert_allclose(d["centers"], 0, atol=1e-5)
+
+    def test_igt_maps_tar_to_src_column_convention(self, fixture_dir):
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "1_src_sample.obj"),
+                         str(root / "1_tar_sample.obj"))
+        igt = d["igt"].astype(np.float64)
+        src_rec = d["points_tar_sample"] @ igt[:3, :3].T + igt[:3, 3]
+        np.testing.assert_allclose(src_rec, d["points_src_sample"], atol=1e-4)
+        # and se3.log(igt @ inverse(igt)) == 0 sanity via jax
+        inv = np.asarray(se3.inverse(jnp.asarray(igt)))
+        np.testing.assert_allclose(igt @ inv, np.eye(4), atol=1e-5)
+
+    def test_neighbors_centered_and_layout(self, fixture_dir):
+        """Neighbor buffer rows group as [n0_of_s0, n1_of_s0, n2_of_s0, ...]
+        and the first neighbor of each seed is the seed itself."""
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"))
+        neis = d["points_based_neighs_src"].reshape(64, 3, 3)
+        src = d["points_src_sample"]
+        d0 = np.linalg.norm(neis[:, 0, None, :] - src[None], axis=-1).min(-1)
+        np.testing.assert_allclose(d0, 0, atol=1e-5)
+
+    def test_tar_box_diagonal(self, fixture_dir):
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"))
+        v = d["points_tar_sample"]
+        diag = np.linalg.norm(v.max(0) - v.min(0))
+        np.testing.assert_allclose(
+            np.linalg.norm(d["tar_box"][0] - d["tar_box"][-1]), diag, rtol=1e-6)
+
+    def test_dcp_adapter_transposes_rotations(self, fixture_dir):
+        root, _ = fixture_dir
+        a = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"))
+        b = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"), dcp=True)
+        np.testing.assert_allclose(b["R"], a["R"].T)
+        np.testing.assert_allclose(b["igt"][:3, :3], a["igt"][:3, :3].T)
+        # column-convention check: tar = R_dcp @ src + T
+        pred = (b["R"] @ b["points_src_sample"].T).T + b["T"]
+        np.testing.assert_allclose(pred, b["points_tar_sample"], atol=1e-4)
+
+    def test_fmr_adapter_truncates(self, fixture_dir):
+        root, _ = fixture_dir
+        d = DS.load_pair(str(root / "0_src_sample.obj"),
+                         str(root / "0_tar_sample.obj"), fmr=True)
+        assert (d["points_src_sample"].shape[0]
+                == d["points_tar_sample"].shape[0])
+
+
+class TestLoader:
+    def test_batching_and_determinism(self, fixture_dir):
+        root, _ = fixture_dir
+        src, tar = DS.pair_lists_indexed(str(root), 2)
+        ds = DS.RegistrationPairs(src, tar)
+        loader = DS.Loader(ds, batch_size=2, shuffle=True, seed=3)
+        b1 = next(iter(loader))
+        assert b1["points_src_sample"].shape == (2, 200, 3)
+        assert b1["R"].shape == (2, 3, 3)
+        loader2 = DS.Loader(ds, batch_size=2, shuffle=True, seed=3)
+        b2 = next(iter(loader2))
+        np.testing.assert_array_equal(b1["points_src_sample"],
+                                      b2["points_src_sample"])
+
+    def test_generate_datasets(self, fixture_dir):
+        root, _ = fixture_dir
+        train, test = DS.generate_datasets(
+            DS.DatasetConfig(data_path=str(root), n=2, train_batch=2,
+                             test_batch=1))
+        assert len(train) == 1
+        batch = next(iter(train))
+        assert batch["igt"].shape == (2, 4, 4)
+
+
+class TestTransforms:
+    def test_se3_exp_matches_jax(self, rng):
+        for _ in range(5):
+            x = rng.standard_normal(6).astype(np.float32) * 0.7
+            g_np = T._se3_exp(x)
+            g_jx = np.asarray(se3.exp(jnp.asarray(x)))
+            np.testing.assert_allclose(g_np, g_jx, rtol=1e-5, atol=1e-6)
+
+    def test_random_transform_se3_inverse_pair(self, rng):
+        pts = rng.standard_normal((50, 3)).astype(np.float32)
+        p1, gt, igt = T.random_transform_se3(pts, rng, mag=0.8)
+        np.testing.assert_allclose(gt @ igt, np.eye(4), atol=1e-6)
+        np.testing.assert_allclose(T.transform_points(gt, p1), pts, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(
+            se3.log(jnp.asarray(igt)))), 0.8, rtol=1e-4)
+
+    def test_resample_cycles_permutations(self, rng):
+        pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+        out = T.resample(pts, 25, rng)
+        assert out.shape == (25, 3)
+        # every original point appears 2 or 3 times
+        counts = [(out == p).all(-1).sum() for p in pts]
+        assert set(counts) <= {2, 3}
+
+    def test_jitter_clipped(self, rng):
+        pts = np.zeros((1000, 3), np.float32)
+        out, noise = T.random_jitter(pts, rng, scale=0.05, clip=0.03)
+        assert np.abs(noise).max() <= 0.03 + 1e-7
+        np.testing.assert_array_equal(out, noise)
+
+    def test_on_unit_cube(self, rng):
+        pts = rng.standard_normal((100, 3)).astype(np.float32) * 5 + 3
+        out = T.on_unit_cube(pts)
+        np.testing.assert_allclose(out.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose((out.max(0) - out.min(0)).max(), 1.0,
+                                   rtol=1e-5)
+
+    def test_rotators(self, rng):
+        pts = rng.standard_normal((64, 3)).astype(np.float32)
+        p1, R = T.random_rotator(pts, rng)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(p1, pts @ R.T, atol=1e-5)
+        pz, Rz = T.random_rotator_z(pts, rng)
+        assert abs(Rz[2, 2] - 1) < 1e-12
+
+
+class TestPlyIO:
+    def test_roundtrip_ascii_and_binary(self, tmp_path, rng):
+        v = rng.standard_normal((37, 3)).astype(np.float32)
+        f = rng.integers(0, 37, (12, 3)).astype(np.int32)
+        for binary in (False, True):
+            p = str(tmp_path / f"m_{binary}.ply")
+            plyio.write_ply(p, v, f, binary=binary)
+            v2, f2 = plyio.read_ply(p)
+            np.testing.assert_allclose(v2, v, rtol=1e-6)
+            np.testing.assert_array_equal(f2, f)
+
+    def test_points_only(self, tmp_path, rng):
+        v = rng.standard_normal((10, 3)).astype(np.float32)
+        p = str(tmp_path / "pts.ply")
+        plyio.write_ply(p, v)
+        v2, f2 = plyio.read_ply(p)
+        np.testing.assert_allclose(v2, v, rtol=1e-6)
+        assert f2.shape == (0, 3)
+
+    def test_quad_fan_triangulation(self, tmp_path):
+        p = str(tmp_path / "quad.ply")
+        with open(p, "w") as fh:
+            fh.write("ply\nformat ascii 1.0\nelement vertex 4\n"
+                     "property float x\nproperty float y\nproperty float z\n"
+                     "element face 1\nproperty list uchar int vertex_indices\n"
+                     "end_header\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+        v, f = plyio.read_ply(p)
+        assert v.shape == (4, 3)
+        np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
