@@ -1,0 +1,218 @@
+"""Unsupervised FMR training + evaluation harness.
+
+TPU-native re-design of fmr/Train_FMR.py + FMRTrain/FMRTest
+(fmr/model.py:485-892): the feature-metric registration solver trained with
+the AE chamfer loss + the intersected-line metric on the last 3 IC iterates.
+
+Faithful pieces:
+- total = 0.01 * loss_ende + 1.0 * loss_intersection (fmr/model.py:557-560);
+- Adam lr=1e-6 (fmr/Train_FMR.py:190);
+- train maxiter=5, eval maxiter=10 (fmr/model.py:489, 758);
+- val loss = comp_inv = mse(g_hat, inverse(igt)) (fmr/model.py:471-481,
+  validate :645-663);
+- eval entry writes the twist CSV (eval_1__header/write,
+  fmr/model.py:875-892) and the dm = ||log(g_hat . igt)|| metric (:799-805).
+
+CLI:
+    python -m a_robust_registration_loss_tpu.train.fmr \
+        --data_path DIR --exp_dir EXP [--eval_only --ckpt PATH] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from a_robust_registration_loss_tpu.eval import metrics as EM
+from a_robust_registration_loss_tpu.models.fmr import FMRConfig, SolveRegistration
+from a_robust_registration_loss_tpu.se3 import se3
+from a_robust_registration_loss_tpu.train import harness
+from a_robust_registration_loss_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class FMRTrainConfig:
+    lr: float = 1e-6                       # fmr/Train_FMR.py:190
+    train_maxiter: int = 5                 # fmr/model.py:489
+    eval_maxiter: int = 10                 # fmr/model.py:758
+    loss: L.LossConfig = L.LossConfig(n_lines=15000)
+    model: FMRConfig = FMRConfig()
+    fit: harness.FitConfig = harness.FitConfig()
+
+
+def make_steps(cfg: FMRTrainConfig):
+    model = SolveRegistration(cfg.model)
+
+    def forward(params, batch, maxiter):
+        return model.apply({"params": params}, batch["points_tar_sample"],
+                           batch["points_src_sample"], maxiter=maxiter)
+
+    optimizer = optax.adam(cfg.lr)
+
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            out = forward(p, batch, cfg.train_maxiter)
+            total, parts = L.fmr_train_loss(out["g_series"], out["loss_ende"],
+                                            batch, key, cfg.loss,
+                                            maxiter=cfg.train_maxiter)
+            return total, (parts, out)
+
+        (loss, (parts, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        igt_inv = jax.vmap(se3.inverse)(batch["igt"])
+        loss_g = jnp.mean((out["g"] - igt_inv) ** 2)
+        mae, rmse = EM.rotation_euler_errors(
+            jnp.swapaxes(out["g"][:, :3, :3], -1, -2), batch["R"], seq="xyz")
+        return params, opt_state, dict(
+            parts, loss=loss, loss_gt=loss_g,
+            loss_rot_euler_mae=mae, loss_rot_euler_rmse=rmse,
+        )
+
+    def eval_step(params, batch, key):
+        """validate (fmr/model.py:645-663): loss = comp_inv, plus pp-wise and
+        euler monitors and the dm twist error."""
+        out = forward(params, batch, cfg.eval_maxiter)
+        g = out["g"]
+        igt_inv = jax.vmap(se3.inverse)(batch["igt"])
+        src = batch["points_src_sample"]
+        pred = se3.transform(g[:, None], src)
+        gt_src = se3.transform(igt_inv[:, None], src)
+        dm, _ = EM.dm_twist_error(g, batch["igt"])
+        mae, rmse = EM.rotation_euler_errors(
+            jnp.swapaxes(g[:, :3, :3], -1, -2), batch["R"], seq="xyz")
+        return dict(
+            loss=jnp.mean((g - igt_inv) ** 2),   # comp_inv
+            loss_pp_wise=jnp.mean(jnp.abs(pred - gt_src)),
+            loss_ende=jnp.asarray(out["loss_ende"]),
+            dm=dm,
+            loss_rot_euler_mae=mae,
+            loss_rot_euler_rmse=rmse,
+        )
+
+    def artifact_fn(params, batch, key):
+        out = forward(params, batch, cfg.eval_maxiter)
+        src = batch["points_src_sample"]
+        pred = se3.transform(out["g"][:, None], src)
+        igt_inv = jax.vmap(se3.inverse)(batch["igt"])
+        gt = se3.transform(igt_inv[:, None], src)
+        return src[0], pred[0], batch["points_tar_sample"][0], gt[0]
+
+    return model, optimizer, train_step, eval_step, artifact_fn
+
+
+def init_params(model, key, batch, maxiter=2):
+    return model.init(key, batch["points_tar_sample"],
+                      batch["points_src_sample"], maxiter=maxiter)["params"]
+
+
+def train(cfg: FMRTrainConfig, train_loader, test_loader=None,
+          init_from=None, log=print):
+    model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
+    batch0 = next(iter(train_loader))
+    key = jax.random.PRNGKey(cfg.fit.seed)
+    params = init_from if init_from is not None else init_params(model, key,
+                                                                 batch0)
+    opt_state = optimizer.init(params)
+    trainer = harness.Trainer(train_step, eval_step, cfg.fit,
+                              score_key="loss", score_mode="min",
+                              artifact_fn=artifact_fn)
+    params, _, history = trainer.fit(params, opt_state, train_loader,
+                                     test_loader, log=log)
+    return params, history
+
+
+def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
+             log=print):
+    """FMRTest.evaluate (fmr/model.py:746-846): per-pair dm + twist CSV
+    (eval_1__header/write) + summary. Returns the mean dm."""
+    model, _, _, eval_step, _ = make_steps(cfg)
+    eval_jit = jax.jit(eval_step)
+
+    def g_of(batch, key):
+        out = model.apply({"params": params}, batch["points_tar_sample"],
+                          batch["points_src_sample"],
+                          maxiter=cfg.eval_maxiter)
+        return out["g"]
+
+    g_jit = jax.jit(g_of)
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "eval_twists.csv")
+    dms = []
+    key = jax.random.PRNGKey(0)
+    with open(csv_path, "w") as fout:
+        print(EM.TWIST_CSV_HEADER, file=fout)
+        for i, batch in enumerate(test_loader):
+            key, sub = jax.random.split(key)
+            g = g_jit(batch, sub)
+            dm, dn = EM.dm_twist_error(g, jnp.asarray(batch["igt"]))
+            rows = np.asarray(EM.twist_csv_rows(g, jnp.asarray(batch["igt"])))
+            for r in rows:
+                print(",".join(str(float(v)) for v in r), file=fout)
+            dms.extend(np.asarray(dn).tolist())
+            log(f"test, {i}/{len(test_loader)}, dm={float(dm):.6f}")
+    mean_dm = float(np.mean(dms)) if dms else float("nan")
+    with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
+        import json
+
+        json.dump({"mean_dm": mean_dm, "n": len(dms)}, f)
+    log(f"mean dm: {mean_dm:.6f} over {len(dms)} pairs -> {csv_path}")
+    return mean_dm
+
+
+def main(argv=None):
+    from a_robust_registration_loss_tpu.data import dataset as DS
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--exp_dir", default="./exps/fmr")
+    ap.add_argument("--layout", default="indexed", choices=["indexed", "views"])
+    ap.add_argument("--n_pairs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--n_lines", type=int, default=15000)
+    ap.add_argument("--dim_k", type=int, default=1024)
+    ap.add_argument("--train_maxiter", type=int, default=5)
+    ap.add_argument("--eval_maxiter", type=int, default=10)
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args(argv)
+
+    train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
+        data_path=args.data_path, layout=args.layout, n=args.n_pairs,
+        train_batch=args.batch_size, fmr=True, seed=args.seed))
+    batch0 = next(iter(train_loader))
+    n_pts = batch0["points_src_sample"].shape[1]
+    cfg = FMRTrainConfig(
+        train_maxiter=args.train_maxiter, eval_maxiter=args.eval_maxiter,
+        loss=L.LossConfig(n_lines=args.n_lines, backend=args.backend),
+        model=FMRConfig(dim_k=args.dim_k, num_points=n_pts),
+        fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
+                              seed=args.seed, artifacts_every=10),
+    )
+    if args.eval_only:
+        model, optimizer, train_step, eval_step, _ = make_steps(cfg)
+        params = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
+        from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+        ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
+        state, step = ckpt.load({"params": params,
+                                 "opt_state": optimizer.init(params),
+                                 "epoch": 0})
+        if state is not None:
+            params = state["params"]
+        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"))
+    else:
+        train(cfg, train_loader, test_loader)
+
+
+if __name__ == "__main__":
+    main()

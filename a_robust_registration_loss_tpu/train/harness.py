@@ -1,0 +1,175 @@
+"""Shared training-harness scaffolding for the model zoo.
+
+The reference's three harnesses (Train_DCP.py, Train_RPM.py, Train_FMR.py)
+each hand-roll the same epoch loop: iterate a loader, backward, step, print,
+write TB scalars, dump obj artifacts, checkpoint best/periodic. Here that
+loop is one place, built TPU-first:
+
+- the train/eval steps are **jitted once** and take (params, opt_state,
+  batch, key) — all data-dependent work stays on device; host work
+  (logging, obj dumps, checkpoints) happens on fetched copies every k steps,
+  off the hot path;
+- optional batch data-parallelism: pass a mesh and the harness device_puts
+  each batch with a dp sharding — XLA inserts the gradient psums (SURVEY.md
+  §2.7; the reference's only parallelism is nn.DataParallel,
+  dcp/Train_DCP.py:875-877);
+- checkpointing via utils.CheckPointManager (orbax), metrics via
+  utils.MetricsWriter (JSONL + TB when available).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a_robust_registration_loss_tpu.data import objio
+from a_robust_registration_loss_tpu.utils import CheckPointManager, MetricsWriter
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    epochs: int = 10
+    exp_dir: str = "./exps/run"
+    save_every: int = 1            # checkpoint cadence (epochs)
+    artifacts_every: int = 0       # obj dump cadence (0 = off)
+    max_to_keep: int = 5           # rpm/common/torch.py:41
+    keep_every_n_hours: float = 6.0
+    seed: int = 1234
+    resume: bool = True            # reload-latest (rpm/Train_RPM.py:453-464)
+    log_tensorboard: bool = True
+
+
+def dump_registration_objs(directory: str, tag, src, pred, tar, gt_src=None):
+    """Periodic artifact dumps of one sample (reference:
+    rpm/Train_RPM.py:85-139 save_results, dcp/Train_DCP.py:510-517)."""
+    os.makedirs(directory, exist_ok=True)
+    objio.write_obj(os.path.join(directory, f"{tag}_src.obj"), np.asarray(src))
+    objio.write_obj(os.path.join(directory, f"{tag}_pred_src.obj"),
+                    np.asarray(pred))
+    objio.write_obj(os.path.join(directory, f"{tag}_tar.obj"), np.asarray(tar))
+    if gt_src is not None:
+        objio.write_obj(os.path.join(directory, f"{tag}_gt_src.obj"),
+                        np.asarray(gt_src))
+
+
+class Trainer:
+    """Generic fit loop around jitted step functions.
+
+    train_step(params, opt_state, batch, key) -> (params, opt_state, metrics)
+    eval_step(params, batch, key) -> metrics  (must contain score_key)
+    artifact_fn(params, batch, key) -> (src, pred, tar, gt_src) one sample
+    """
+
+    def __init__(self, train_step: Callable, eval_step: Optional[Callable],
+                 cfg: FitConfig, score_key: str = "loss",
+                 score_mode: str = "min",
+                 artifact_fn: Optional[Callable] = None,
+                 mesh=None):
+        self.train_step = jax.jit(train_step)
+        self.eval_step = jax.jit(eval_step) if eval_step is not None else None
+        self.cfg = cfg
+        self.score_key = score_key
+        self.score_mode = score_mode
+        self.artifact_fn = artifact_fn
+        self.mesh = mesh
+        os.makedirs(cfg.exp_dir, exist_ok=True)
+        self.writer = MetricsWriter(os.path.join(cfg.exp_dir, "logs"),
+                                    tensorboard=cfg.log_tensorboard)
+        self.ckpt = CheckPointManager(
+            os.path.join(cfg.exp_dir, "checkpoints"),
+            max_to_keep=cfg.max_to_keep,
+            keep_every_n_hours=cfg.keep_every_n_hours,
+            best_mode="min" if score_mode == "min" else "max",
+        )
+
+    def _put(self, batch):
+        if self.mesh is None:
+            return batch
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        return pmesh.shard_batch(batch, self.mesh)
+
+    def restore(self, params, opt_state):
+        """Reload-latest when resume is on. Returns (params, opt_state,
+        start_epoch)."""
+        if not self.cfg.resume:
+            return params, opt_state, 0
+        target = {"params": params, "opt_state": opt_state, "epoch": 0}
+        state, step = self.ckpt.load(target)
+        if state is None:
+            return params, opt_state, 0
+        return state["params"], state["opt_state"], int(state["epoch"]) + 1
+
+    def fit(self, params, opt_state, train_loader, test_loader=None,
+            epochs: Optional[int] = None, log=print):
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        params, opt_state, start = self.restore(params, opt_state)
+        # keys are derived per (epoch, batch) via fold_in so a kill-and-resume
+        # run reproduces the exact losses of an uninterrupted one
+        root_key = jax.random.PRNGKey(cfg.seed)
+        step_idx = 0
+        history = []
+        for epoch in range(start, epochs):
+            ekey = jax.random.fold_in(root_key, epoch)
+            t0 = time.perf_counter()
+            agg, n_batches = {}, 0
+            for bi, batch in enumerate(train_loader):
+                sub = jax.random.fold_in(ekey, bi)
+                params, opt_state, metrics = self.train_step(
+                    params, opt_state, self._put(batch), sub
+                )
+                step_idx += 1
+                n_batches += 1
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+            train_metrics = {k: v / max(n_batches, 1) for k, v in agg.items()}
+            self.writer.add_scalars(train_metrics, epoch, prefix="train/")
+
+            eval_metrics = {}
+            if self.eval_step is not None and test_loader is not None:
+                eagg, m = {}, 0
+                for bi, batch in enumerate(test_loader):
+                    sub = jax.random.fold_in(ekey, 1_000_000 + bi)
+                    metrics = self.eval_step(params, self._put(batch), sub)
+                    m += 1
+                    for k, v in metrics.items():
+                        eagg[k] = eagg.get(k, 0.0) + float(v)
+                eval_metrics = {k: v / max(m, 1) for k, v in eagg.items()}
+                self.writer.add_scalars(eval_metrics, epoch, prefix="test/")
+
+            score = eval_metrics.get(self.score_key,
+                                     train_metrics.get(self.score_key))
+            if cfg.save_every and epoch % cfg.save_every == 0:
+                self.ckpt.save(
+                    epoch,
+                    {"params": params, "opt_state": opt_state, "epoch": epoch},
+                    score=score,
+                )
+            if (cfg.artifacts_every and self.artifact_fn is not None
+                    and epoch % cfg.artifacts_every == 0):
+                sub = jax.random.fold_in(ekey, 2_000_000)
+                batch = next(iter(train_loader))
+                src, pred, tar, gt = self.artifact_fn(params, self._put(batch),
+                                                      sub)
+                dump_registration_objs(
+                    os.path.join(cfg.exp_dir, "artifacts"), f"ep{epoch}",
+                    src, pred, tar, gt,
+                )
+            self.writer.flush()
+            dt = time.perf_counter() - t0
+            history.append({"epoch": epoch, **train_metrics,
+                            **{f"test_{k}": v for k, v in eval_metrics.items()}})
+            log(f"epoch {epoch}: "
+                + " ".join(f"{k}={v:.6f}" for k, v in train_metrics.items())
+                + (f" | test: " + " ".join(
+                    f"{k}={v:.6f}" for k, v in eval_metrics.items())
+                   if eval_metrics else "")
+                + f" ({dt:.1f}s)")
+        return params, opt_state, history

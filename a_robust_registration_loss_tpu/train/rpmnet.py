@@ -1,0 +1,219 @@
+"""Unsupervised RPM-Net training harness.
+
+TPU-native re-design of rpm/Train_RPM.py (BaseRPMNet): RPM-Net trained with
+per-iteration discounted intersection losses + outlier regularization
+instead of GT correspondences.
+
+Faithful pieces:
+- total = 10 * loss_reg + 1.0 * loss_intersection (Train_RPM.py:316);
+- num_train_reg_iter=2 / eval 5 (rpm/arguments.py: --train_reg_iter);
+- 10k lines, radius = FULL bbox diagonal (Train_RPM.py:203-222);
+- identity pretraining: R -> I, t -> 0 with 1 registration iter
+  (pretrained_params, Train_RPM.py:349-378);
+- the "OneCycleLR" quirk: the reference constructs OneCycleLR with
+  max_lr=2e-5, div_factor=1, final_div_factor=1 (Train_RPM.py:383-390) —
+  initial = max = final = 2e-5, i.e. a CONSTANT 2e-5 that silently overrides
+  the Adam lr=2e-3 (:433-435). Replicated: the schedule here is the same
+  optax cosine one-cycle, whose value is constant 2e-5 under those factors.
+
+CLI:
+    python -m a_robust_registration_loss_tpu.train.rpmnet \
+        --data_path DIR --exp_dir EXP [--pretrain_epochs N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from a_robust_registration_loss_tpu.eval import metrics as EM
+from a_robust_registration_loss_tpu.models.rpmnet import (
+    RPMNetConfig,
+    RPMNetEarlyFusion,
+)
+from a_robust_registration_loss_tpu.ops import geometry as G
+from a_robust_registration_loss_tpu.se3 import se3
+from a_robust_registration_loss_tpu.train import harness
+from a_robust_registration_loss_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class RPMTrainConfig:
+    max_lr: float = 2e-5                   # Train_RPM.py:385
+    onecycle_epochs: int = 100000          # Train_RPM.py:387
+    pct_start: float = 0.001               # Train_RPM.py:390
+    num_train_reg_iter: int = 2
+    num_eval_reg_iter: int = 5
+    pretrain_epochs: int = 0               # reference default 10000 (:349)
+    loss: L.LossConfig = L.LossConfig(n_lines=10000, wt_inliers=1e-2)
+    model: RPMNetConfig = RPMNetConfig()
+    fit: harness.FitConfig = harness.FitConfig()
+
+
+def lr_schedule(cfg: RPMTrainConfig):
+    """torch OneCycleLR(max_lr, div_factor=1, final_div_factor=1,
+    pct_start=0.001) == constant max_lr; expressed as the honest one-cycle
+    so changing the factors behaves like the torch original."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=cfg.onecycle_epochs,
+        peak_value=cfg.max_lr,
+        pct_start=cfg.pct_start,
+        div_factor=1.0,
+        final_div_factor=1.0,
+    )
+
+
+def make_steps(cfg: RPMTrainConfig):
+    model = RPMNetEarlyFusion(cfg.model)
+    optimizer = optax.adam(lr_schedule(cfg))
+
+    def forward(params, batch, num_iter):
+        return model.apply(
+            {"params": params},
+            batch["points_src_sample"], batch["normals_src"],
+            batch["points_tar_sample"], batch["normals_tar"],
+            num_iter=num_iter,
+        )
+
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            transforms, endpoints = forward(p, batch, cfg.num_train_reg_iter)
+            losses, pred_src = L.rpm_cal_loss(
+                transforms, endpoints["perm_matrices"], batch, key, cfg.loss
+            )
+            return L.rpm_total_loss(losses), losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, dict(
+            {k: jax.lax.stop_gradient(v) for k, v in losses.items()},
+            loss=loss,
+        )
+
+    def eval_step(params, batch, key):
+        """cal_gt_loss (Train_RPM.py:282-307): gt + chamfer on the final
+        eval-iteration transform."""
+        transforms, _ = forward(params, batch, cfg.num_eval_reg_iter)
+        src = batch["points_src_sample"][..., :3]
+        pred_src = se3.rt_transform(transforms[-1], src)
+        g = jnp.concatenate(
+            [jnp.swapaxes(batch["R"], -1, -2), batch["T"][..., None]], axis=-1
+        )
+        gt_src = se3.rt_transform(g, src)
+        mae, rmse = EM.rotation_euler_errors(
+            transforms[-1][..., :3, :3],
+            jnp.swapaxes(batch["R"], -1, -2), seq="xyz")
+        return dict(
+            loss=jnp.mean(jnp.abs(gt_src - pred_src)),
+            loss_chamfer=G.chamfer_distance(batch["points_tar_sample"],
+                                            pred_src),
+            loss_rot_euler_mae=mae,
+            loss_rot_euler_rmse=rmse,
+        )
+
+    def pretrain_step(params, opt_state, batch, key):
+        """Identity pretraining (Train_RPM.py:349-378): 1 reg iter,
+        loss = mse(R, I) + mse(t, 0)."""
+        def loss_fn(p):
+            transforms, _ = forward(p, batch, 1)
+            R = transforms[0][..., :3, :3]
+            t = transforms[0][..., :3, 3]
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+            return jnp.mean((R - eye) ** 2) + jnp.mean(t**2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, dict(loss=loss)
+
+    def artifact_fn(params, batch, key):
+        transforms, _ = forward(params, batch, cfg.num_eval_reg_iter)
+        src = batch["points_src_sample"][..., :3]
+        pred = se3.rt_transform(transforms[-1], src)
+        g = jnp.concatenate(
+            [jnp.swapaxes(batch["R"], -1, -2), batch["T"][..., None]], axis=-1
+        )
+        gt = se3.rt_transform(g, src)
+        return src[0], pred[0], batch["points_tar_sample"][0], gt[0]
+
+    return model, optimizer, train_step, eval_step, pretrain_step, artifact_fn
+
+
+def init_params(model, key, batch, num_iter=1):
+    return model.init(
+        key,
+        batch["points_src_sample"], batch["normals_src"],
+        batch["points_tar_sample"], batch["normals_tar"],
+        num_iter=num_iter,
+    )["params"]
+
+
+def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
+          init_from=None, log=print):
+    """run() + optional pretrained_params() (Train_RPM.py:349-396)."""
+    (model, optimizer, train_step, eval_step, pretrain_step,
+     artifact_fn) = make_steps(cfg)
+    batch0 = next(iter(train_loader))
+    key = jax.random.PRNGKey(cfg.fit.seed)
+    params = init_from if init_from is not None else init_params(model, key,
+                                                                 batch0)
+    opt_state = optimizer.init(params)
+
+    if cfg.pretrain_epochs:
+        pstep = jax.jit(pretrain_step)
+        for epoch in range(cfg.pretrain_epochs):
+            for batch in train_loader:
+                key, sub = jax.random.split(key)
+                params, opt_state, m = pstep(params, opt_state, batch, sub)
+            log(f"pretrain epoch {epoch}: loss={float(m['loss']):.6f}")
+        opt_state = optimizer.init(params)  # fresh moments for the real run
+
+    trainer = harness.Trainer(train_step, eval_step, cfg.fit,
+                              score_key="loss", score_mode="min",
+                              artifact_fn=artifact_fn)
+    params, _, history = trainer.fit(params, opt_state, train_loader,
+                                     test_loader, log=log)
+    return params, history
+
+
+def main(argv=None):
+    from a_robust_registration_loss_tpu.data import dataset as DS
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--exp_dir", default="./exps/rpm")
+    ap.add_argument("--layout", default="indexed", choices=["indexed", "views"])
+    ap.add_argument("--n_pairs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--n_lines", type=int, default=10000)
+    ap.add_argument("--wt_inliers", type=float, default=1e-2)
+    ap.add_argument("--train_reg_iter", type=int, default=2)
+    ap.add_argument("--eval_reg_iter", type=int, default=5)
+    ap.add_argument("--pretrain_epochs", type=int, default=0)
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args(argv)
+
+    train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
+        data_path=args.data_path, layout=args.layout, n=args.n_pairs,
+        train_batch=args.batch_size, seed=args.seed))
+    cfg = RPMTrainConfig(
+        num_train_reg_iter=args.train_reg_iter,
+        num_eval_reg_iter=args.eval_reg_iter,
+        pretrain_epochs=args.pretrain_epochs,
+        loss=L.LossConfig(n_lines=args.n_lines, wt_inliers=args.wt_inliers,
+                          backend=args.backend),
+        fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
+                              seed=args.seed, artifacts_every=10),
+    )
+    train(cfg, train_loader, test_loader)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Framework utilities: checkpoint management, observability, timing."""
+
+from a_robust_registration_loss_tpu.utils.checkpoint import CheckPointManager  # noqa: F401
+from a_robust_registration_loss_tpu.utils.logging import (  # noqa: F401
+    IOStream,
+    MetricsWriter,
+    prepare_logger,
+)
+from a_robust_registration_loss_tpu.utils.timing import StepTimer, trace  # noqa: F401
