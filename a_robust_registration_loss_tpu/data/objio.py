@@ -59,8 +59,8 @@ def write_obj(path: str, vertices, faces=None):
     """
     vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
     nat = _native()
-    if nat is not None and faces is None:
-        nat.write_obj(path, vertices)
+    if nat is not None:
+        nat.write_obj(path, vertices, faces)
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
