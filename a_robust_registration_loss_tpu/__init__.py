@@ -8,12 +8,17 @@ PyTorch codebase (Dengzhi-USTC/A-robust-registration-loss):
                  jit/vmap/grad-able; Pallas fused kernels for the hot path), line
                  sampling, chamfer, FPS/kNN/bbox geometry primitives.
 - ``models``:    DCP, RPM-Net, FMR registration networks as Flax modules.
-- ``data``:      OBJ IO, the unified registration dataset contract, depth pipeline.
-- ``train``:     classical single-pair optimization demo + unsupervised training
-                 harnesses for the model zoo, orbax checkpointing.
+- ``data``:      OBJ/PLY IO (with a C++ fast path in ``native``), the unified
+                 registration dataset contract + loaders, augmentation
+                 transforms, neighbor-precompute CLI, depth-capture pipeline.
+- ``train``:     classical single-pair optimization demo + the three
+                 unsupervised training harnesses (DCP/RPM/FMR) with orbax
+                 checkpointing and metric logging.
+- ``eval``:      accuracy oracles: Euler-angle errors, pp-wise metrics, the
+                 FMR dm twist error and eval CSV.
 - ``parallel``:  device-mesh / sharding helpers (batch-DP and line-axis sharding
                  over ICI via shard_map/pjit).
-- ``utils``:     config, metrics (Euler-angle errors), logging/observability.
+- ``utils``:     CheckPointManager, metrics writer, run logs, step timing.
 """
 
 __version__ = "0.1.0"
