@@ -1,0 +1,126 @@
+"""Load reference PyTorch checkpoints into this framework's Flax params.
+
+Migration path for users of the reference: a trained torch ``state_dict``
+from dcp/model.py or fmr/model.py maps onto our Flax modules' parameter
+trees (weight-transplant). Forward parity of the transplanted networks is
+asserted in tests/test_transplant.py against the actual reference modules.
+
+All functions take a plain ``dict[str, np.ndarray]`` (call
+``{k: v.cpu().numpy() for k, v in sd.items()}`` on a torch state_dict), so
+torch is not required here.
+
+Layout notes:
+- torch Conv1d(k=1) weight (C_out, C_in, 1) and Linear weight (C_out, C_in)
+  both map to a Dense kernel (C_in, C_out) via transpose;
+- the reference's GroupNorm -> our TorchGroupNorm (flax GroupNorm scale/bias);
+- the annotated-transformer LayerNorm (a_2/b_2) -> TorchLayerNorm (a/b);
+- our FeedForward names Dense_0 = torch w_2 and Dense_1 = torch w_1
+  (flax @nn.compact names follow call order; the outer Dense is constructed
+  first).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _dense(sd: Dict[str, np.ndarray], key: str, bias: bool = True):
+    w = np.asarray(sd[f"{key}.weight"])
+    if w.ndim == 3:  # Conv1d kernel-size-1
+        w = w[:, :, 0]
+    out = {"kernel": w.T.copy()}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"]).copy()
+    return out
+
+
+def _groupnorm(sd, key):
+    return {"GroupNorm_0": {"scale": np.asarray(sd[f"{key}.weight"]).copy(),
+                            "bias": np.asarray(sd[f"{key}.bias"]).copy()}}
+
+
+def _layernorm(sd, key):
+    return {"a": np.asarray(sd[f"{key}.a_2"]).copy(),
+            "b": np.asarray(sd[f"{key}.b_2"]).copy()}
+
+
+def _mha(sd, key):
+    names = ["wq", "wk", "wv", "wo"]
+    return {n: _dense(sd, f"{key}.linears.{i}") for i, n in enumerate(names)}
+
+
+def _ffn(sd, key):
+    # Dense_0 == w_2 (outer), Dense_1 == w_1 (inner) — see module docstring
+    return {"Dense_0": _dense(sd, f"{key}.w_2"),
+            "Dense_1": _dense(sd, f"{key}.w_1")}
+
+
+def dcp_from_state_dict(sd: Dict[str, np.ndarray], n_blocks: int = 1) -> dict:
+    """Reference DCP state_dict (pointnet + transformer + svd head) ->
+    our models.dcp.DCP params tree (as nested plain dicts).
+
+    Covers emb_nn='pointnet', pointer='transformer', head='svd' (the
+    svd head has no parameters; the mlp head and dgcnn embedder can be
+    added the same way on demand)."""
+    params: dict = {"emb_nn": {}, "pointer": {}}
+    for i in range(5):
+        params["emb_nn"][f"Dense_{i}"] = _dense(sd, f"emb_nn.conv{i + 1}",
+                                                bias=False)
+        params["emb_nn"][f"TorchGroupNorm_{i}"] = _groupnorm(
+            sd, f"emb_nn.bn{i + 1}")
+
+    for i in range(n_blocks):
+        enc = f"pointer.model.encoder.layers.{i}"
+        params["pointer"][f"enc{i}"] = {
+            "MultiHeadAttention_0": _mha(sd, f"{enc}.self_attn"),
+            "FeedForward_0": _ffn(sd, f"{enc}.feed_forward"),
+            "TorchLayerNorm_0": _layernorm(sd, f"{enc}.sublayer.0.norm"),
+            "TorchLayerNorm_1": _layernorm(sd, f"{enc}.sublayer.1.norm"),
+        }
+        dec = f"pointer.model.decoder.layers.{i}"
+        params["pointer"][f"dec{i}"] = {
+            "MultiHeadAttention_0": _mha(sd, f"{dec}.self_attn"),
+            "MultiHeadAttention_1": _mha(sd, f"{dec}.src_attn"),
+            "FeedForward_0": _ffn(sd, f"{dec}.feed_forward"),
+            "TorchLayerNorm_0": _layernorm(sd, f"{dec}.sublayer.0.norm"),
+            "TorchLayerNorm_1": _layernorm(sd, f"{dec}.sublayer.1.norm"),
+            "TorchLayerNorm_2": _layernorm(sd, f"{dec}.sublayer.2.norm"),
+        }
+    params["pointer"]["enc_norm"] = _layernorm(sd,
+                                               "pointer.model.encoder.norm")
+    params["pointer"]["dec_norm"] = _layernorm(sd,
+                                               "pointer.model.decoder.norm")
+    return params
+
+
+def fmr_encoder_from_state_dict(sd, prefix: str = "") -> dict:
+    """fmr PointNet (h1/h2 Sequential stacks) -> PointNetEncoder params."""
+    # h1: Conv@0, GN@1, Conv@3, GN@4; h2: Conv@0, GN@1, Conv@3, GN@4, Conv@6, GN@7
+    src = [("h1", 0), ("h1", 3), ("h2", 0), ("h2", 3), ("h2", 6)]
+    out = {}
+    for i, (blk, li) in enumerate(src):
+        out[f"Dense_{i}"] = _dense(sd, f"{prefix}{blk}.{li}")
+        out[f"TorchGroupNorm_{i}"] = _groupnorm(sd, f"{prefix}{blk}.{li + 1}")
+    return out
+
+
+def fmr_decoder_from_state_dict(sd, prefix: str = "") -> dict:
+    out = {}
+    for i in range(4):
+        out[f"Dense_{i}"] = _dense(sd, f"{prefix}fc{i + 1}")
+    for i in range(3):
+        out[f"TorchGroupNorm_{i}"] = _groupnorm(sd, f"{prefix}bn{i + 1}")
+    return out
+
+
+def fmr_from_state_dict(sd: Dict[str, np.ndarray],
+                        use_decoder: bool = True) -> dict:
+    """Reference SolveRegistration state_dict -> our models.fmr
+    SolveRegistration params (encoder, decoder, dt)."""
+    params = {"encoder": fmr_encoder_from_state_dict(sd, "encoder.")}
+    if use_decoder and any(k.startswith("decoder.") for k in sd):
+        params["decoder"] = fmr_decoder_from_state_dict(sd, "decoder.")
+    params["dt"] = np.asarray(sd["dt"]).reshape(1, 6).copy()
+    return params
