@@ -115,6 +115,46 @@ def fmr_decoder_from_state_dict(sd, prefix: str = "") -> dict:
     return out
 
 
+def rpmnet_from_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """Reference RPMNetEarlyFusion state_dict (rpm/models/rpmnet.py:242-253)
+    -> our models.rpmnet.RPMNetEarlyFusion params.
+
+    weights_net: prepool Conv1d@{0,3,6,9,12} + GN@{1,4,7,10,13}, postpool
+    Linear@{0,3,6} + GN@{1,4} (feature_nets.py:31-63); the final Linear emits
+    2 + prod(weights_dim) values of which the reference uses the first two
+    (beta, alpha) — we keep only those rows when weights_dim > 0.
+    feat_extractor: prepool Conv2d@{0,3,6} + GN@{1,4,7}, postpool
+    Conv1d@{0,3,6} + GN@{1,4} (feature_nets.py:118-152)."""
+    wn = {}
+    for i, li in enumerate([0, 3, 6, 9, 12]):
+        wn[f"Dense_{i}"] = _dense(sd, f"weights_net.prepool.{li}")
+        wn[f"TorchGroupNorm_{i}"] = _groupnorm(sd,
+                                               f"weights_net.prepool.{li + 1}")
+    for j, li in enumerate([0, 3]):
+        wn[f"Dense_{5 + j}"] = _dense(sd, f"weights_net.postpool.{li}")
+        wn[f"TorchGroupNorm_{5 + j}"] = _groupnorm(
+            sd, f"weights_net.postpool.{li + 1}")
+    final = _dense(sd, "weights_net.postpool.6")
+    wn["Dense_7"] = {"kernel": final["kernel"][:, :2],
+                     "bias": final["bias"][:2]}
+
+    fe = {}
+    for i, li in enumerate([0, 3, 6]):
+        w = np.asarray(sd[f"feat_extractor.prepool.{li}.weight"])  # (O,I,1,1)
+        fe[f"Dense_{i}"] = {
+            "kernel": w[:, :, 0, 0].T.copy(),
+            "bias": np.asarray(sd[f"feat_extractor.prepool.{li}.bias"]).copy(),
+        }
+        fe[f"TorchGroupNorm_{i}"] = _groupnorm(
+            sd, f"feat_extractor.prepool.{li + 1}")
+    for j, li in enumerate([0, 3, 6]):
+        fe[f"Dense_{3 + j}"] = _dense(sd, f"feat_extractor.postpool.{li}")
+        if li != 6:
+            fe[f"TorchGroupNorm_{3 + j}"] = _groupnorm(
+                sd, f"feat_extractor.postpool.{li + 1}")
+    return {"weights_net": wn, "feat_extractor": fe}
+
+
 def fmr_from_state_dict(sd: Dict[str, np.ndarray],
                         use_decoder: bool = True) -> dict:
     """Reference SolveRegistration state_dict -> our models.fmr

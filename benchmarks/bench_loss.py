@@ -88,7 +88,9 @@ def main():
     iters_per_sec = 1.0 / dt
     # a "point pair" = one (line, neighborhood) candidate on each cloud
     pairs = B * L * F * 2
-    ref_ms_per_sample = 50.4  # Inter, 1024 pts / 5000 lines (BASELINE.md)
+    # reference Inter cost per sample at 1024 pts (BASELINE.md table)
+    ref_table = {5000: 50.4, 20000: 204.4}
+    ref_ms_per_sample = ref_table.get(L, 50.4 * L / 5000.0)
     ref_batch_sec = ref_ms_per_sample * B / 1000.0
     print(json.dumps({
         "metric": "loss_microbench_fwd_bwd",

@@ -132,6 +132,57 @@ def _fake_pointer_sd(d, ff, n_blocks):
     return sd
 
 
+class TestRPMNetTransplant:
+    def test_full_forward_parity(self, torch_models, rng):
+        """Full RPMNetEarlyFusion (2 registration iterations: parameter net,
+        PPF feature extraction, sinkhorn, weighted Kabsch): transplanted flax
+        transforms == torch transforms."""
+        torch = torch_models.torch
+        sys.path.insert(0, "/root/reference/code/exps_deep_learning/rpm")
+        import importlib
+
+        rpm_ref = importlib.import_module("models.rpmnet")
+        torch.manual_seed(4)
+        args = types.SimpleNamespace(no_slack=False, num_sk_iter=5,
+                                     features=["ppf", "dxyz", "xyz"],
+                                     feat_dim=32, radius=0.4,
+                                     num_neighbors=16)
+        net = rpm_ref.RPMNetEarlyFusion(args).eval()
+
+        from a_robust_registration_loss_tpu.models.rpmnet import (
+            RPMNetConfig,
+            RPMNetEarlyFusion,
+        )
+        from a_robust_registration_loss_tpu.models import transplant
+
+        cfg = RPMNetConfig(feat_dim=32, radius=0.4, num_neighbors=16,
+                           num_sk_iter=5, add_slack=True)
+        model = RPMNetEarlyFusion(cfg)
+        params = transplant.rpmnet_from_state_dict(_np_sd(net))
+
+        src = rng.standard_normal((2, 24, 3)).astype(np.float32) * 0.5
+        ref = rng.standard_normal((2, 24, 3)).astype(np.float32) * 0.5
+        nrm = rng.standard_normal((2, 24, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        data = {
+            "points_src_sample": torch.from_numpy(src),
+            "points_tar_sample": torch.from_numpy(ref),
+            "normals_src": torch.from_numpy(nrm),
+            "normals_tar": torch.from_numpy(nrm),
+        }
+        with torch.no_grad():
+            transforms_t, endpoints_t = net(data, num_iter=2)
+        transforms_j, endpoints_j = model.apply(
+            {"params": params}, jnp.asarray(src), jnp.asarray(nrm),
+            jnp.asarray(ref), jnp.asarray(nrm), num_iter=2)
+        for ti, (tt, tj) in enumerate(zip(transforms_t, transforms_j)):
+            np.testing.assert_allclose(np.asarray(tj), tt.numpy(), atol=2e-4,
+                                       err_msg=f"iter {ti}")
+        np.testing.assert_allclose(
+            np.asarray(endpoints_j["perm_matrices"][0]),
+            endpoints_t["perm_matrices"][0].numpy(), atol=1e-5)
+
+
 class TestFMRTransplant:
     def test_encoder_decoder_parity(self, torch_models, rng):
         torch = torch_models.torch
