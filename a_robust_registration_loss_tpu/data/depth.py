@@ -189,6 +189,49 @@ def capture_to_sample(depth, out_prefix: str,
     return p, n, pose
 
 
+def main(argv=None):
+    """Batch depth-capture CLI — the Real_depth_2_depth_obj.generate_data
+    role (utils.py:511-534): every ``*depth.png`` under --data_path becomes
+    ``{stem}_sample.obj`` + ``{stem}_sample_normals.obj``; poses from the
+    ``pose.txt`` companions are collected into poses.json."""
+    import argparse
+    import glob
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_path", required=True)
+    ap.add_argument("--pattern", default="*depth.png")
+    ap.add_argument("--num", type=int, default=2048)
+    ap.add_argument("--subset", type=int, default=15000)
+    ap.add_argument("--fx", type=float, default=Intrinsics.fx)
+    ap.add_argument("--fy", type=float, default=Intrinsics.fy)
+    ap.add_argument("--cx", type=float, default=Intrinsics.cx)
+    ap.add_argument("--cy", type=float, default=Intrinsics.cy)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    intr = Intrinsics(fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy)
+    rng = np.random.default_rng(args.seed)
+    poses = {}
+    paths = sorted(glob.glob(os.path.join(args.data_path, args.pattern)))
+    if not paths:
+        raise SystemExit(f"no depth images matching {args.pattern}")
+    for idx, p in enumerate(paths):
+        prefix = p[: -len(".png")]
+        pose_path = p.replace("depth.png", "pose.txt")
+        pts, nrm, pose = capture_to_sample(
+            p, prefix, intr, num=args.num, subset=args.subset, rng=rng,
+            pose_path=pose_path)
+        if pts is None:
+            print(f"skip (empty/NaN): {p}")
+            continue
+        if pose is not None:
+            poses[os.path.basename(p)] = np.asarray(pose).tolist()
+        print(f"[{idx}] wrote {prefix}_sample.obj")
+    with open(os.path.join(args.data_path, "poses.json"), "w") as f:
+        json.dump(poses, f, indent=1)
+
+
 def make_sample_data(V, F, num: int = 1024):
     """Mesh -> (FPS points, normals) or (None, None) on NaN normals
     (reference: utils.py:404-427 Make_sample_data body)."""
@@ -197,3 +240,7 @@ def make_sample_data(V, F, num: int = 1024):
     if np.isnan(n).sum() > 0:
         return None, None
     return p, n
+
+
+if __name__ == "__main__":
+    main()

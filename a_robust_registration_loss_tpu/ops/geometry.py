@@ -157,10 +157,14 @@ def bounding_box_corners(vertices):
 
 
 # Fixed 12-triangle topology over the 8 bbox corners (reference: loss.py:354-362).
-BBOX_FACES = jnp.array(
+# numpy (not jnp): a module-level device constant would initialize the jax
+# backend at import time, before CLIs can force a platform.
+import numpy as _np
+
+BBOX_FACES = _np.array(
     [[2, 0, 6], [0, 4, 6], [5, 4, 0], [5, 0, 1], [6, 4, 5], [5, 7, 6],
      [3, 0, 2], [1, 0, 3], [3, 2, 6], [6, 7, 3], [5, 1, 3], [3, 7, 5]],
-    dtype=jnp.int32,
+    dtype=_np.int32,
 )
 
 

@@ -57,5 +57,16 @@ def constrain(x, mesh: Mesh, spec: P):
 
 
 def shard_batch(tree, mesh: Mesh):
-    """Device-put a host batch with the leading axis sharded over dp."""
-    return jax.device_put(tree, batch_sharding(mesh))
+    """Device-put a host batch with the leading axis sharded over dp.
+
+    Leaves whose leading axis is not divisible by dp (e.g. the reference's
+    batch-1 eval loaders, pre_dataloader.py:227-233) are replicated instead —
+    XLA still runs the step correctly, just without batch partitioning."""
+    dp = mesh.shape["dp"]
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % dp == 0:
+            return jax.device_put(x, batch_sharding(mesh))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, tree)

@@ -94,7 +94,7 @@ def init_params(model, key, batch):
 
 
 def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
-          init_from=None, log=print):
+          init_from=None, log=print, mesh=None):
     """Full training entry (the reference's train(), Train_DCP.py:534-705).
     Returns (params, history)."""
     model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
@@ -105,7 +105,7 @@ def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
     opt_state = optimizer.init(params)
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",
-                              artifact_fn=artifact_fn)
+                              artifact_fn=artifact_fn, mesh=mesh)
     params, _, history = trainer.fit(params, opt_state, train_loader,
                                      test_loader, log=log)
     return params, history
@@ -128,10 +128,39 @@ def main(argv=None):
                     choices=["transformer", "identity"])
     ap.add_argument("--head", default="svd", choices=["svd", "mlp"])
     ap.add_argument("--emb_dims", type=int, default=512)
+    ap.add_argument("--n_blocks", type=int, default=1)
+    ap.add_argument("--n_heads", type=int, default=4)
+    ap.add_argument("--ff_dims", type=int, default=1024)
     ap.add_argument("--cycle", action="store_true")
+    ap.add_argument("--init_from_torch", default=None,
+                    help="a reference DCP .pth checkpoint to transplant as "
+                         "the initialization (the reference fine-tunes from "
+                         "a supervised-pretrained net, Train_DCP.py:890-893)")
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu) — the axon TPU "
+                         "plugin ignores the JAX_PLATFORMS env var")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel device count (0 = single device); "
+                         "creates a (dp, 1) mesh and shards batches over it")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="raise on NaN in any jitted op (the reference's "
+                         "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    mesh = None
+    if args.dp:
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=args.dp, sp=1,
+                               devices=jax.devices()[: args.dp])
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
@@ -142,11 +171,23 @@ def main(argv=None):
                           backend=args.backend),
         model=DCPConfig(emb_nn=args.emb_nn, pointer=args.pointer,
                         head=args.head, emb_dims=args.emb_dims,
-                        cycle=args.cycle),
+                        n_blocks=args.n_blocks, n_heads=args.n_heads,
+                        ff_dims=args.ff_dims, cycle=args.cycle),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )
-    train(cfg, train_loader, test_loader)
+    init_from = None
+    if args.init_from_torch:
+        import torch
+
+        from a_robust_registration_loss_tpu.models import transplant
+
+        sd = torch.load(args.init_from_torch, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        sd = {k: v.cpu().numpy() for k, v in sd.items()}
+        init_from = transplant.dcp_from_state_dict(sd,
+                                                   n_blocks=cfg.model.n_blocks)
+    train(cfg, train_loader, test_loader, init_from=init_from, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -114,7 +114,7 @@ def init_params(model, key, batch, maxiter=2):
 
 
 def train(cfg: FMRTrainConfig, train_loader, test_loader=None,
-          init_from=None, log=print):
+          init_from=None, log=print, mesh=None):
     model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
     batch0 = next(iter(train_loader))
     key = jax.random.PRNGKey(cfg.fit.seed)
@@ -123,16 +123,35 @@ def train(cfg: FMRTrainConfig, train_loader, test_loader=None,
     opt_state = optimizer.init(params)
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",
-                              artifact_fn=artifact_fn)
+                              artifact_fn=artifact_fn, mesh=mesh)
     params, _, history = trainer.fit(params, opt_state, train_loader,
                                      test_loader, log=log)
     return params, history
 
 
+def ablate_batch(batch, rng, add_noise: bool = False,
+                 add_density: bool = False, density_ratio: float = 0.5):
+    """FMRTest's ablation hooks (fmr/model.py:848-873): gaussian 0.01 noise
+    on the source and/or a random density_ratio subset of it."""
+    batch = dict(batch)
+    p1 = np.asarray(batch["points_src_sample"])
+    if add_noise:
+        p1 = rng.normal(p1, 0.01).astype(np.float32)
+    if add_density:
+        n = p1.shape[1]
+        keep = rng.choice(np.arange(1, n), size=int(n * density_ratio),
+                          replace=False)
+        p1 = p1[:, keep]
+    batch["points_src_sample"] = p1
+    return batch
+
+
 def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
-             log=print):
+             log=print, add_noise: bool = False, add_density: bool = False,
+             seed: int = 0):
     """FMRTest.evaluate (fmr/model.py:746-846): per-pair dm + twist CSV
-    (eval_1__header/write) + summary. Returns the mean dm."""
+    (eval_1__header/write) + summary, with the reference's noise/density
+    ablation hooks. Returns the mean dm."""
     model, _, _, eval_step, _ = make_steps(cfg)
     eval_jit = jax.jit(eval_step)
 
@@ -147,9 +166,12 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
     csv_path = os.path.join(out_dir, "eval_twists.csv")
     dms = []
     key = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(seed)
     with open(csv_path, "w") as fout:
         print(EM.TWIST_CSV_HEADER, file=fout)
         for i, batch in enumerate(test_loader):
+            if add_noise or add_density:
+                batch = ablate_batch(batch, np_rng, add_noise, add_density)
             key, sub = jax.random.split(key)
             g = g_jit(batch, sub)
             dm, dn = EM.dm_twist_error(g, jnp.asarray(batch["igt"]))
@@ -183,8 +205,36 @@ def main(argv=None):
     ap.add_argument("--eval_maxiter", type=int, default=10)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--add_noise", action="store_true",
+                    help="eval ablation: gaussian 0.01 noise on the source "
+                         "(fmr/model.py:854-856)")
+    ap.add_argument("--add_density", action="store_true",
+                    help="eval ablation: random 50%% source subset "
+                         "(fmr/model.py:858-871)")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu) — the axon TPU "
+                         "plugin ignores the JAX_PLATFORMS env var")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel device count (0 = single device); "
+                         "creates a (dp, 1) mesh and shards batches over it")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="raise on NaN in any jitted op (the reference's "
+                         "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    mesh = None
+    if args.dp:
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=args.dp, sp=1,
+                               devices=jax.devices()[: args.dp])
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
@@ -209,9 +259,11 @@ def main(argv=None):
                                  "epoch": 0})
         if state is not None:
             params = state["params"]
-        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"))
+        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
+                 add_noise=args.add_noise, add_density=args.add_density,
+                 seed=args.seed)
     else:
-        train(cfg, train_loader, test_loader)
+        train(cfg, train_loader, test_loader, mesh=mesh)
 
 
 if __name__ == "__main__":

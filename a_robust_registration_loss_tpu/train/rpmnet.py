@@ -154,7 +154,7 @@ def init_params(model, key, batch, num_iter=1):
 
 
 def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
-          init_from=None, log=print):
+          init_from=None, log=print, mesh=None):
     """run() + optional pretrained_params() (Train_RPM.py:349-396)."""
     (model, optimizer, train_step, eval_step, pretrain_step,
      artifact_fn) = make_steps(cfg)
@@ -175,7 +175,7 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
 
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",
-                              artifact_fn=artifact_fn)
+                              artifact_fn=artifact_fn, mesh=mesh)
     params, _, history = trainer.fit(params, opt_state, train_loader,
                                      test_loader, log=log)
     return params, history
@@ -198,7 +198,29 @@ def main(argv=None):
     ap.add_argument("--pretrain_epochs", type=int, default=0)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu) — the axon TPU "
+                         "plugin ignores the JAX_PLATFORMS env var")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel device count (0 = single device); "
+                         "creates a (dp, 1) mesh and shards batches over it")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="raise on NaN in any jitted op (the reference's "
+                         "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
     args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    mesh = None
+    if args.dp:
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=args.dp, sp=1,
+                               devices=jax.devices()[: args.dp])
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
@@ -212,7 +234,7 @@ def main(argv=None):
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )
-    train(cfg, train_loader, test_loader)
+    train(cfg, train_loader, test_loader, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -87,6 +87,36 @@ class IOStream:
         self.f.close()
 
 
+class Colors:
+    """ANSI console colors (reference: rpm/common/colors.py; the harnesses
+    print per-batch losses in blue/cyan, e.g. rpm/Train_RPM.py:340-346)."""
+
+    BLUE = "\033[34m"
+    CYAN = "\033[36m"
+    GREEN = "\033[32m"
+    RED = "\033[31m"
+    END = "\033[0m"
+
+    @staticmethod
+    def wrap(text: str, color: str) -> str:
+        return f"{color}{text}{Colors.END}"
+
+
+def dict_to_file(path: str, d: dict, file_type: str = "json"):
+    """Persist a metrics dict as json or key:value text (reference:
+    utils.py:19-29 Dict2txt_json, used for val summaries,
+    rpm/Train_RPM.py:177-181)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if file_type == "json":
+        with open(path, "w") as f:
+            json.dump({k: float(v) if hasattr(v, "__float__") else v
+                       for k, v in d.items()}, f, indent=1)
+    else:
+        with open(path, "w") as f:
+            for k, v in d.items():
+                f.write(f"{k}: {v}\n")
+
+
 def prepare_logger(log_path: str, name: Optional[str] = None) -> logging.Logger:
     """File+console logger that records argv on startup (reference:
     rpm/common/misc.py:48-85)."""
