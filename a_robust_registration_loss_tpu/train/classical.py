@@ -123,10 +123,14 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
         )
 
         def loss_fn(p):
-            src_t, neis_t = apply_twist(p, data["src"], data["neis_src"])
-            loss, valid = M.intersection_loss(
-                neis_t, neis_tar, lines, cfg.kmin, cfg.kmax, cfg.line_chunk,
-                backend=cfg.backend,
+            R, t = se3.exp3(p.reshape(6))
+            src_t = data["src"] @ R + t
+            # gather-then-transform metric: same value/grad as transforming
+            # the neighbor array first, without the backward scatter
+            loss, valid = M.intersection_loss_transformed(
+                lambda pts: pts @ R + t,
+                data["neis_src"], neis_tar, lines, cfg.kmin, cfg.kmax,
+                cfg.line_chunk, backend=cfg.backend,
             )
             return loss, (src_t, valid)
 

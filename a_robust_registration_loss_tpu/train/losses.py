@@ -83,6 +83,25 @@ def _metric_batch(src_neis_t, tar_neis, lines, cfg: LossConfig):
     return jnp.where(valid, losses, 0.0)
 
 
+def _metric_batch_rt(R_row, t, src_neis_raw, tar_neis, lines,
+                     cfg: LossConfig):
+    """(B,) per-sample metric of ``src_neis @ R_row + t`` vs tar — the
+    gather-then-transform path (ops/metric.py:
+    intersection_loss_transformed): identical value/grad to transforming the
+    neighbor arrays first, but the backward reduces over the gathered slots
+    instead of scatter-adding into the full neighbor array (the hottest op
+    of a training step on TPU)."""
+
+    def per(R, tt, n1, n2, l):
+        loss, valid = M.intersection_loss_transformed(
+            lambda p: p @ R + tt, n1, n2, l, cfg.kmin, cfg.kmax,
+            cfg.line_chunk, backend=cfg.backend,
+        )
+        return jnp.where(valid, loss, 0.0)
+
+    return jax.vmap(per)(R_row, t, src_neis_raw, tar_neis, lines)
+
+
 def _flat_neis(neighs):
     """(B, N*nnei, 3) neighbor buffers -> (B, N, nnei*3) metric layout."""
     B = neighs.shape[0]
@@ -106,13 +125,14 @@ def dcp_cal_loss(data, R_ab, t_ab, key, cfg: LossConfig = LossConfig()):
     tar = data["points_tar_sample"]
     B = src.shape[0]
     pred_src = dcp_transform(src, R_ab, t_ab)
-    pred_neis = _flat_neis(dcp_transform(data["points_based_neighs_src"],
-                                         R_ab, t_ab))
+    src_neis_raw = _flat_neis(data["points_based_neighs_src"])
     tar_neis = _flat_neis(data["points_based_neighs_tar"])
 
     lines = batch_lines(key, data["tar_box"], data["centers"], cfg.n_lines,
                         pred_src, tar, radius_scale=0.5)
-    per_sample = _metric_batch(pred_neis, tar_neis, lines, cfg) / 5.0
+    # column-convention (R p + t) == row form p @ R^T + t
+    per_sample = _metric_batch_rt(jnp.swapaxes(R_ab, -1, -2), t_ab,
+                                  src_neis_raw, tar_neis, lines, cfg) / 5.0
     loss_intersection = jnp.sum(per_sample) / B
 
     # monitors (dcp/Train_DCP.py:248-296) — all detached
@@ -188,16 +208,18 @@ def rpm_cal_loss(pred_transforms: Sequence[jax.Array],
     lines = None
     inter_terms, chamfer_terms = [], []
     pred_src_final = None
+    src_neis_raw = _flat_neis(neighs_src)
     for ni in range(num_iter):
-        pred_src = se3.rt_transform(pred_transforms[ni], src)
-        pred_neis = _flat_neis(se3.rt_transform(pred_transforms[ni],
-                                                neighs_src))
+        g = pred_transforms[ni]
+        pred_src = se3.rt_transform(g, src)
         pred_src_final = pred_src
         if lines is None:
             # full diagonal radius — no 0.5 (Train_RPM.py:203-205)
             lines = batch_lines(key, data["tar_box"], data["centers"],
                                 cfg.n_lines, pred_src, tar, radius_scale=1.0)
-        inter = jnp.sum(_metric_batch(pred_neis, tar_neis, lines, cfg))
+        inter = jnp.sum(_metric_batch_rt(
+            jnp.swapaxes(g[..., :3, :3], -1, -2), g[..., :3, 3],
+            src_neis_raw, tar_neis, lines, cfg))
         inter_terms.append(inter / num_iter)  # Train_RPM.py:232
         chamfer_terms.append(
             jax.lax.stop_gradient(G.chamfer_distance(tar, pred_src))
@@ -264,11 +286,13 @@ def fmr_train_loss(g_series, loss_ende, data, key,
 
     loss_inter = 0.0
     pred_src = pred_src_last
+    src_neis_raw = _flat_neis(neighs_src)
     for i in range(max(0, maxiter - 3), maxiter):
         gi = g_series[i]
         pred_src = se3.transform(gi[:, None], src)
-        pred_neis = _flat_neis(se3.transform(gi[:, None], neighs_src))
-        tp = jnp.sum(_metric_batch(pred_neis, tar_neis, lines, cfg) / 5.0)
+        tp = jnp.sum(_metric_batch_rt(
+            jnp.swapaxes(gi[:, :3, :3], -1, -2), gi[:, :3, 3],
+            src_neis_raw, tar_neis, lines, cfg) / 5.0)
         loss_inter = loss_inter + tp * cfg.discount ** (maxiter - i - 1)
     loss_inter = loss_inter / B
 

@@ -206,3 +206,35 @@ class TestLineSampler:
         assert nonzero > 200  # nearly all slots filled
         # no duplicate rows (each accepted line stored once)
         assert len(np.unique(out[np.any(out != 0, -1)], axis=0)) == nonzero
+
+
+class TestGatherThenTransform:
+    """intersection_loss_transformed must equal transforming the neighbor
+    array first — value AND gradient (it is a reassociation of the same
+    computation; the point is the backward without the full-array scatter)."""
+
+    def test_value_and_gradient_equal(self, problem):
+        from a_robust_registration_loss_tpu.se3 import se3
+
+        neis1 = jnp.asarray(problem["neis1"])
+        neis2 = jnp.asarray(problem["neis2"])
+        lines = jnp.asarray(problem["lines"])
+        twist = jnp.asarray([0.05, -0.02, 0.08, 0.01, 0.0, -0.03])
+
+        def loss_pre(p):
+            R, t = se3.exp3(p)
+            neis_t = (neis1.reshape(-1, 3) @ R + t).reshape(neis1.shape)
+            l, v = M.intersection_loss(neis_t, neis2, lines)
+            return l
+
+        def loss_fused(p):
+            R, t = se3.exp3(p)
+            l, v = M.intersection_loss_transformed(
+                lambda pts: pts @ R + t, neis1, neis2, lines)
+            return l
+
+        v1, g1 = jax.value_and_grad(loss_pre)(twist)
+        v2, g2 = jax.value_and_grad(loss_fused)(twist)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-7)
