@@ -112,7 +112,7 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tl", "tf", "interpret"))
-def intersect_stage1(point_neis, lines, delta, *, tl: int = 1024, tf: int = 512,
+def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
                      interpret: bool = False):
     """Fused stage 1. point_neis (F, 9), lines (L, 6), delta (F,) adaptive
     thresholds. Returns (count (L,) int32, slot_idx (L, 4) int32 with 2**30
