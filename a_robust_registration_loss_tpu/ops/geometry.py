@@ -10,8 +10,7 @@ of round-tripping through host KD-trees.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional
+
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from a_robust_registration_loss_tpu.eval import metrics as EM

@@ -25,7 +25,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from a_robust_registration_loss_tpu.data import objio
