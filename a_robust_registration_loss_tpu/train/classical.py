@@ -210,3 +210,135 @@ def final_transform(params):
     out[:3, :3] = R
     out[:3, 3] = t
     return R, t, out
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-pair registration — beyond the reference (which optimizes one
+# pair per process, test_demo...py:158-162): vmap the whole epoch over a
+# batch of pairs so a TPU chip amortizes the metric across registrations.
+# Adam is elementwise, so per-pair moments ride along as (B, ...) arrays, and
+# each pair's gradient depends only on its own twist row.
+# ---------------------------------------------------------------------------
+
+def prepare_pairs(src_batch, tar_batch, cfg: ClassicalConfig):
+    """Batched prepare_pair: (B, N, 3) x (B, M, 3) -> dict of (B, ...)."""
+    src = jnp.asarray(src_batch, jnp.float32)
+    tar = jnp.asarray(tar_batch, jnp.float32)
+    n = min(cfg.num_sample, src.shape[1], tar.shape[1])
+    neis_src = G.sample_neighs(src, n, 3)
+    neis_tar = G.sample_neighs(tar, n, 3)
+    c1 = src.mean(1, keepdims=True)
+    c2 = tar.mean(1, keepdims=True)
+    src, tar = src - c1, tar - c2
+    neis_src = neis_src - c1
+    neis_tar = neis_tar - c2
+    bbox = G.bounding_box_corners(tar)
+    radius = jnp.linalg.norm(bbox[:, 0] - bbox[:, -1], axis=-1)
+    B = src.shape[0]
+    return dict(
+        src=src, tar=tar,
+        neis_src=neis_src.reshape(B, n, 9),
+        neis_tar=neis_tar.reshape(B, n, 9),
+        radius=radius, center=tar.mean(1),
+        center_src=c1, center_tar=c2,
+    )
+
+
+def make_batch_step(cfg: ClassicalConfig, data, optimizer):
+    """One jitted epoch over B pairs: per-pair line resampling, per-pair
+    metric + Adam (masked on invalid pairs). Carry mirrors make_step with a
+    leading batch axis."""
+    tar = data["tar"]
+    neis_tar = data["neis_tar"]
+
+    def step(carry, key):
+        params, opt_state, src_prev = carry  # (B, 6), ..., (B, N, 3)
+        B = params.shape[0]
+        keys = jax.random.split(key, B)
+        lines = jax.vmap(
+            lambda k, r, c, s, t: LN.resample_lines(k, r, c, cfg.n_lines, s, t)
+        )(keys, data["radius"], data["center"], src_prev, tar)
+
+        def loss_fn(ps):
+            def per_pair(p, n1, n2, l):
+                R, t = se3.exp3(p.reshape(6))
+                loss, valid = M.intersection_loss_transformed(
+                    lambda q: q @ R + t, n1, n2, l, cfg.kmin, cfg.kmax,
+                    cfg.line_chunk, backend=cfg.backend,
+                )
+                return jnp.where(valid, loss, 0.0), valid
+
+            losses, valids = jax.vmap(per_pair)(ps, data["neis_src"],
+                                                neis_tar, lines)
+            return losses.sum(), (losses, valids)
+
+        (_, (losses, valids)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jnp.where(valids[:, None], grads, 0.0)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jnp.where(valids[:, None], new_params, params)
+
+        def mask_state(new, old):
+            # per-pair freeze for (B, ...) moments; the shared schedule count
+            # (a scalar) only freezes when every pair was invalid
+            if new.ndim >= 1 and new.shape[0] == valids.shape[0]:
+                m = valids.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+            return jnp.where(valids.any(), new, old)
+
+        opt_state = jax.tree.map(mask_state, new_opt_state, opt_state)
+
+        def one_transform(p, s):
+            R, t = se3.exp3(p.reshape(6))
+            return s @ R + t
+
+        src_t = jax.vmap(one_transform)(params, data["src"])
+        if cfg.compute_chamfer:
+            chamfer = jax.vmap(
+                lambda a, b: G.chamfer_distance(a[None], b[None])
+            )(src_t, tar)
+        else:
+            chamfer = jnp.zeros(B, jnp.float32)
+        return (params, opt_state, src_t), dict(
+            loss=losses, chamfer=chamfer, valid=valids)
+
+    return step
+
+
+def run_batch(src_batch, tar_batch, cfg: ClassicalConfig = ClassicalConfig(),
+              callback=None, init_params=None):
+    """Optimize B registrations simultaneously. src_batch/tar_batch:
+    (B, N, 3)/(B, M, 3) (equal counts within each batch). Returns
+    (params (B, 6), history of (n_epochs, B) metric arrays)."""
+    key = jax.random.PRNGKey(cfg.seed)
+    k_init, k_run = jax.random.split(key)
+    data = prepare_pairs(src_batch, tar_batch, cfg)
+    B = data["src"].shape[0]
+    if init_params is None:
+        params = jax.vmap(init_twist)(jax.random.split(k_init, B))
+    else:
+        params = jnp.asarray(init_params)
+    optimizer = optax.adam(learning_rate=lr_schedule(cfg))
+    opt_state = optimizer.init(params)
+    step = make_batch_step(cfg, data, optimizer)
+
+    @jax.jit
+    def run_block(carry, keys):
+        return jax.lax.scan(step, carry, keys)
+
+    carry = (params, opt_state, data["src"])
+    history = []
+    all_keys = jax.random.split(k_run, cfg.n_epochs)
+    done = 0
+    n_blocks = -(-cfg.n_epochs // cfg.log_every)
+    for b in range(n_blocks):
+        block = all_keys[done : min(done + cfg.log_every, cfg.n_epochs)]
+        carry, metrics = run_block(carry, block)
+        done += block.shape[0]
+        history.append(jax.tree.map(np.asarray, metrics))
+        if callback is not None:
+            last = {k: v[-1] for k, v in history[-1].items()}
+            callback(done, carry[0], last, np.asarray(carry[2]))
+    hist = {k: np.concatenate([h[k] for h in history]) for k in history[0]}
+    return carry[0], hist

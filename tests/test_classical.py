@@ -86,3 +86,39 @@ def test_apply_twist_matches_se3():
     R, t = se3.exp3(params)
     np.testing.assert_allclose(np.asarray(pts_t), np.asarray(pts @ R + t), atol=1e-6)
     assert neis_t.shape == neis.shape
+
+
+class TestBatchedRegistration:
+    """run_batch (beyond-reference capability): B simultaneous registrations
+    converge like B independent runs."""
+
+    def test_batch_converges(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        i = np.arange(128) + 0.5
+        phi = np.arccos(1 - 2 * i / 128)
+        th = np.pi * (1 + 5**0.5) * i
+        base = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                         np.cos(phi)], -1).astype(np.float32)
+        angs = [0.25, -0.2]
+        srcs, tars = [], []
+        for a in angs:
+            R = np.array([[np.cos(a), -np.sin(a), 0],
+                          [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
+            src = base + rng.standard_normal(base.shape).astype(np.float32) * 0.01
+            srcs.append(src)
+            tars.append(src @ R + np.float32([0.05, 0.0, -0.02]))
+        src_b = np.stack(srcs)
+        tar_b = np.stack(tars)
+
+        cfg = classical.ClassicalConfig(
+            n_epochs=120, n_lines=512, num_sample=128, line_chunk=None,
+            log_every=40, compute_chamfer=True, seed=3)
+        params, hist = classical.run_batch(src_b, tar_b, cfg)
+        assert params.shape == (2, 6)
+        assert hist["chamfer"].shape == (120, 2)
+        start = hist["chamfer"][0]
+        end = hist["chamfer"][-1]
+        assert (end < start * 0.5).all(), (start, end)
+        assert np.isfinite(hist["loss"]).all()
