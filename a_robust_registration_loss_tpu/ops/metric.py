@@ -111,6 +111,28 @@ def _stage1_chunk(P, delta, lines_chunk, kmax: int):
     return Intersections(count, slot_idx, w)
 
 
+def _find_intersections_pallas(point_neis, lines, kmax: int,
+                               interpret: bool):
+    """Pallas stage 1 -> (Intersections, raw slot reconstruction (L, kmax, 3)
+    = sum_i w_i p_i, emitted in-kernel)."""
+    from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
+
+    if kmax != PK.KMAX:
+        raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
+    delta = neighborhood_delta(jax.lax.stop_gradient(point_neis))
+    count, slot_idx, slot_d2, slot_recon = PK.intersect_stage1(
+        point_neis, lines, delta, interpret=interpret
+    )
+    F = point_neis.shape[0]
+    filled = slot_idx < F
+    slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
+    d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
+    w = d / jnp.sum(d, -1, keepdims=True)
+    w = jnp.where(filled[..., None], w, 0.0)
+    recon = jnp.where(filled[..., None], slot_recon, 0.0)
+    return Intersections(count, slot_idx, w), recon
+
+
 def neighborhood_delta(point_neis):
     """Locally adaptive threshold: mean pairwise spacing of each nnei=3
     neighborhood (reference: loss.py:94-104). point_neis: (F, 9) -> (F,)."""
@@ -137,21 +159,9 @@ def find_intersections(point_neis, lines, kmax: int = 4,
     ``interpret`` runs that kernel in interpreter mode (CPU tests).
     """
     if backend == "pallas":
-        from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
-
-        if kmax != PK.KMAX:
-            raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
-        delta = neighborhood_delta(jax.lax.stop_gradient(point_neis))
-        count, slot_idx, slot_d2 = PK.intersect_stage1(
-            point_neis, lines, delta, interpret=interpret
-        )
-        F = point_neis.shape[0]
-        filled = slot_idx < F
-        slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
-        d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
-        w = d / jnp.sum(d, -1, keepdims=True)
-        w = jnp.where(filled[..., None], w, 0.0)
-        return Intersections(count, slot_idx, w)
+        inter, _ = _find_intersections_pallas(point_neis, lines, kmax,
+                                              interpret)
+        return inter
 
     point_neis = jax.lax.stop_gradient(point_neis)
     lines = jax.lax.stop_gradient(lines)
@@ -242,6 +252,52 @@ def intersection_loss_transformed(apply_fn, point_neis1, point_neis2, lines,
     pts1 = reconstruct_intersection_points_via(point_neis1, inter1, apply_fn)
     pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)
+
+
+def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
+                            kmin: int = 1, kmax: int = 4,
+                            line_chunk: Optional[int] = None,
+                            backend: str = "xla", interpret: bool = False):
+    """The metric with cloud 1 rigidly transformed: p' = p @ R + t
+    (row convention). Same value/grad as intersection_loss_transformed with
+    ``lambda p: p @ R + t`` (tested), with one extra algebraic shortcut on
+    the pallas backend: the slot weights sum to 1, so the weighted-mean
+    reconstruction commutes with the rigid map —
+    mean_i(w_i (p_i @ R + t)) = (sum_i w_i p_i) @ R / nnei + t / nnei —
+    and the kernel-emitted raw reconstruction feeds one tiny affine op,
+    skipping the XLA slot gather entirely (its random-access row gather
+    costs ~1.6 ms at L=20k on TPU)."""
+    if backend != "pallas":
+        return intersection_loss_transformed(
+            lambda p: p @ R + t, point_neis1, point_neis2, lines,
+            kmin, kmax, line_chunk, backend, interpret)
+
+    neis1_t = jax.lax.stop_gradient(
+        (point_neis1.reshape(-1, 3) @ R + t).reshape(point_neis1.shape)
+    )
+    inter1, recon1 = _find_intersections_pallas(neis1_t, lines, kmax,
+                                                interpret)
+    inter2, recon2 = _find_intersections_pallas(point_neis2, lines, kmax,
+                                                interpret)
+    F1 = point_neis1.shape[0]
+    F2 = point_neis2.shape[0]
+    nnei = point_neis1.shape[1] // 3
+    # NOTE: inter1/recon1 were computed from the ALREADY-transformed cloud;
+    # undo and re-apply differentiably: recon1 is sum_i w_i (p_i @ R + t)
+    # with detached R, t inside the kernel. Re-expressing in raw coordinates:
+    # raw = (recon1 - t) @ R^T, then pts1 = (raw @ R + t) / nnei with the
+    # traced R, t. Simpler and exactly equivalent: pts1 from the raw cloud's
+    # gathered reconstruction — but stage 1 must see the transformed cloud.
+    # So: recon_raw = (recon1 - sum_w * t) @ R^T with sum_w == 1 for filled
+    # slots (w sums to 1), 0 for empty (recon 0).
+    filled1 = (inter1.slot_idx < F1)[..., None]
+    Rd = jax.lax.stop_gradient(R)
+    td = jax.lax.stop_gradient(t)
+    recon_raw = jnp.where(filled1, (recon1 - td) @ Rd.T, 0.0)
+    pts1 = jnp.where(filled1, (recon_raw @ R + t) / nnei, 0.0)
+    pts2 = jnp.where((inter2.slot_idx < F2)[..., None], recon2 / nnei, 0.0)
+    return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin,
+                                        kmax)
 
 
 def _masked_lower_median(values, mask):

@@ -39,7 +39,7 @@ def _round_up(x, m):
 
 
 def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
-            cnt_acc, idx_acc, d_acc):
+            slot_r_ref, cnt_acc, idx_acc, d_acc, r_acc):
     """Grid: (line_tiles, face_tiles); face tile index j advances fastest, so
     the per-line accumulators in VMEM scratch carry across the F sweep.
 
@@ -59,6 +59,7 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         cnt_acc[:] = jnp.zeros_like(cnt_acc)
         idx_acc[:] = jnp.full_like(idx_acc, 2**30)
         d_acc[:] = jnp.zeros_like(d_acc)
+        r_acc[:] = jnp.zeros_like(r_acc)
 
     thr2 = p_ref[9, :]  # (TF,) squared threshold (delta*1.731/2)^2 - 2e-4
 
@@ -78,6 +79,21 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         ok = d2_i < thr2[:, None]
         label = ok if label is None else (label & ok)
     # padded faces carry thr2 == -inf, so their labels are already False
+
+    # raw weighted reconstruction wp_c = sum_i (d_i / sum_j d_j) * p_i_c per
+    # (face, line) pair — the same op sequence as the XLA glue (sqrt of
+    # d2 + 2e-4, normalize, weight), so selected slots match it exactly
+    # max(., 0) guards the sqrt against fp-cancellation negatives on padded
+    # or far faces (never selected, but NaN * 0 would poison the reductions);
+    # exact no-op for the selected faces (their d2 + 2e-4 > 0)
+    d = [jnp.sqrt(jnp.maximum(d2[i] + 2e-4, 0.0)) for i in range(NNEI)]
+    dsum = d[0] + d[1] + d[2]
+    wp = []
+    for c in range(3):
+        acc = jnp.zeros((TF, TL), jnp.float32)
+        for i in range(NNEI):
+            acc += (d[i] / dsum) * p_ref[3 * i + c, :][:, None]
+        wp.append(acc)
 
     hits = label.astype(jnp.float32)  # (TF, TL)
     # inclusive prefix-sum over faces via one MXU matmul with a lower-
@@ -101,6 +117,9 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         for i in range(NNEI):
             v = jnp.sum(m * d2[i], axis=0)
             d_acc[s * NNEI + i, :] = jnp.where(take, v, d_acc[s * NNEI + i, :])
+        for c in range(3):
+            r = jnp.sum(m * wp[c], axis=0)
+            r_acc[s * 3 + c, :] = jnp.where(take, r, r_acc[s * 3 + c, :])
 
     cnt_acc[0, :] += jnp.sum(hits, axis=0).astype(jnp.int32)
 
@@ -109,6 +128,7 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         count_ref[:] = cnt_acc[:]
         slot_idx_ref[:] = idx_acc[:]
         slot_d_ref[:] = d_acc[:]
+        slot_r_ref[:] = r_acc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tl", "tf", "interpret"))
@@ -117,7 +137,9 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
     """Fused stage 1. point_neis (F, 9), lines (L, 6), delta (F,) adaptive
     thresholds. Returns (count (L,) int32, slot_idx (L, 4) int32 with 2**30
     for empty, slot_d2 (L, 4, 3) raw perpendicular d^2 values *without* the
-    +2e-4, which the caller re-adds under sqrt)."""
+    +2e-4 which the caller re-adds under sqrt, slot_recon (L, 4, 3) — the
+    raw weighted reconstruction sum_i w_i p_i per slot, emitted in-kernel so
+    consumers skip the slow XLA row-gather of neighbor coordinates)."""
     point_neis = jax.lax.stop_gradient(point_neis)
     lines = jax.lax.stop_gradient(lines)
     F = point_neis.shape[0]
@@ -139,7 +161,7 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
     l_packed = l_packed.at[0:6, :L].set(lines.T)
 
     grid = (Lp // tl, Fp // tf)
-    count, slot_idx, slot_d = pl.pallas_call(
+    count, slot_idx, slot_d, slot_r = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
@@ -150,16 +172,19 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
             pl.BlockSpec((1, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((KMAX, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((KMAX * NNEI, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KMAX * 3, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Lp), jnp.int32),
             jax.ShapeDtypeStruct((KMAX, Lp), jnp.int32),
             jax.ShapeDtypeStruct((KMAX * NNEI, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((KMAX * 3, Lp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, tl), jnp.int32),
             pltpu.VMEM((KMAX, tl), jnp.int32),
             pltpu.VMEM((KMAX * NNEI, tl), jnp.float32),
+            pltpu.VMEM((KMAX * 3, tl), jnp.float32),
         ],
         interpret=interpret,
     )(l_packed, p_packed)
@@ -168,4 +193,5 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
         count[0, :L],
         slot_idx[:, :L].T,
         slot_d[:, :L].T.reshape(L, KMAX, NNEI),
+        slot_r[:, :L].T.reshape(L, KMAX, 3),
     )

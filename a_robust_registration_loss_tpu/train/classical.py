@@ -127,9 +127,8 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
             src_t = data["src"] @ R + t
             # gather-then-transform metric: same value/grad as transforming
             # the neighbor array first, without the backward scatter
-            loss, valid = M.intersection_loss_transformed(
-                lambda pts: pts @ R + t,
-                data["neis_src"], neis_tar, lines, cfg.kmin, cfg.kmax,
+            loss, valid = M.intersection_loss_rigid(
+                R, t, data["neis_src"], neis_tar, lines, cfg.kmin, cfg.kmax,
                 cfg.line_chunk, backend=cfg.backend,
             )
             return loss, (src_t, valid)
@@ -262,8 +261,8 @@ def make_batch_step(cfg: ClassicalConfig, data, optimizer):
         def loss_fn(ps):
             def per_pair(p, n1, n2, l):
                 R, t = se3.exp3(p.reshape(6))
-                loss, valid = M.intersection_loss_transformed(
-                    lambda q: q @ R + t, n1, n2, l, cfg.kmin, cfg.kmax,
+                loss, valid = M.intersection_loss_rigid(
+                    R, t, n1, n2, l, cfg.kmin, cfg.kmax,
                     cfg.line_chunk, backend=cfg.backend,
                 )
                 return jnp.where(valid, loss, 0.0), valid

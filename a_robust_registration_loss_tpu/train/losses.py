@@ -93,8 +93,8 @@ def _metric_batch_rt(R_row, t, src_neis_raw, tar_neis, lines,
     of a training step on TPU)."""
 
     def per(R, tt, n1, n2, l):
-        loss, valid = M.intersection_loss_transformed(
-            lambda p: p @ R + tt, n1, n2, l, cfg.kmin, cfg.kmax,
+        loss, valid = M.intersection_loss_rigid(
+            R, tt, n1, n2, l, cfg.kmin, cfg.kmax,
             cfg.line_chunk, backend=cfg.backend,
         )
         return jnp.where(valid, loss, 0.0)

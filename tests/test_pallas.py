@@ -61,7 +61,7 @@ def _compare_intersections(neis, lines, tl, tf, w_atol=3e-4):
     ref = M.find_intersections(neis_j, lines_j, backend="xla")
 
     delta = M.neighborhood_delta(neis_j)
-    count, slot_idx, slot_d2 = PK.intersect_stage1(
+    count, slot_idx, slot_d2, slot_recon = PK.intersect_stage1(
         neis_j, lines_j, delta, tl=tl, tf=tf, interpret=True
     )
     F = neis.shape[0]
@@ -75,6 +75,15 @@ def _compare_intersections(neis, lines, tl, tf, w_atol=3e-4):
     np.testing.assert_array_equal(np.asarray(slot_idx), np.asarray(ref.slot_idx))
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref.slot_w),
                                rtol=1e-4, atol=w_atol)
+    # in-kernel reconstruction vs the XLA gather + weighted sum
+    recon_ref = np.sum(
+        np.asarray(ref.slot_w)[..., None]
+        * np.asarray(neis).reshape(F, 3, 3)[np.minimum(np.asarray(slot_idx), F - 1)],
+        axis=-2)
+    recon_ref = np.where(np.asarray(filled)[..., None], recon_ref, 0.0)
+    recon = np.where(np.asarray(filled)[..., None], np.asarray(slot_recon), 0.0)
+    np.testing.assert_allclose(recon, recon_ref, rtol=1e-4,
+                               atol=max(w_atol, 1e-5) * 3)
     return ref
 
 
@@ -170,3 +179,51 @@ class TestEndToEndEquivalence:
         g_x = np.asarray(loss_with("xla"))
         g_p = np.asarray(loss_with("pallas"))
         np.testing.assert_allclose(g_p, g_x, rtol=5e-3, atol=1e-5)
+
+
+class TestRigidFastPath:
+    def test_rigid_matches_transformed_value_and_grad(self):
+        """intersection_loss_rigid's pallas shortcut (kernel-emitted
+        reconstruction + one affine op) vs the generic gather-then-transform
+        path: same value and same gradient w.r.t. (R, t)."""
+        from a_robust_registration_loss_tpu.se3 import se3
+
+        neis1, neis2, lines = _random_problem(seed=23, f1=200, f2=200,
+                                              n_lines=150)
+        twist = jnp.asarray([0.04, -0.03, 0.06, 0.02, 0.0, -0.01])
+
+        def loss_generic(p):
+            R, t = se3.exp3(p)
+            l, _ = M.intersection_loss_transformed(
+                lambda q: q @ R + t, jnp.asarray(neis1), jnp.asarray(neis2),
+                jnp.asarray(lines), backend="pallas", interpret=True)
+            return l
+
+        def loss_rigid(p):
+            R, t = se3.exp3(p)
+            l, _ = M.intersection_loss_rigid(
+                R, t, jnp.asarray(neis1), jnp.asarray(neis2),
+                jnp.asarray(lines), backend="pallas", interpret=True)
+            return l
+
+        v1, g1 = jax.value_and_grad(loss_generic)(twist)
+        v2, g2 = jax.value_and_grad(loss_rigid)(twist)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=5e-3, atol=1e-6)
+
+    def test_rigid_xla_fallback(self):
+        from a_robust_registration_loss_tpu.se3 import se3
+
+        neis1, neis2, lines = _random_problem(seed=29, f1=150, f2=150,
+                                              n_lines=120)
+        R, t = se3.exp3(jnp.asarray([0.05, 0.0, -0.02, 0.01, 0.03, 0.0]))
+        l_x, v_x = M.intersection_loss_rigid(
+            R, t, jnp.asarray(neis1), jnp.asarray(neis2), jnp.asarray(lines),
+            backend="xla")
+        l_p, v_p = M.intersection_loss_rigid(
+            R, t, jnp.asarray(neis1), jnp.asarray(neis2), jnp.asarray(lines),
+            backend="pallas", interpret=True)
+        assert bool(v_x) and bool(v_p)
+        np.testing.assert_allclose(float(l_p), float(l_x), rtol=3e-4,
+                                   atol=2e-5)
