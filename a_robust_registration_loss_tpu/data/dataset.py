@@ -208,6 +208,42 @@ class Loader:
             yield collate([self.dataset[int(i)] for i in idx])
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper around any batch iterable: loads
+    the next batch (host IO: OBJ parsing, neighbor bins) while the device
+    runs the current step — the role of the reference's DataLoader worker
+    processes (pre_dataloader.py:220-233, num_workers=1), double-buffered."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
 def pair_lists_views(data_path: str, n_meshes: int, n_views: int):
     """src_sample_{mesh}_{view}.obj layout (human/airplane datasets,
     pre_dataloader.py:190-209)."""

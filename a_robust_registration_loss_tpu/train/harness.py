@@ -161,8 +161,9 @@ class Trainer:
                     os.path.join(cfg.exp_dir, "artifacts"), f"ep{epoch}",
                     src, pred, tar, gt,
                 )
-            self.writer.flush()
             dt = time.perf_counter() - t0
+            self.writer.add_scalar("time/epoch_seconds", dt, epoch)
+            self.writer.flush()
             history.append({"epoch": epoch, **train_metrics,
                             **{f"test_{k}": v for k, v in eval_metrics.items()}})
             log(f"epoch {epoch}: "

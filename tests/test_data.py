@@ -238,3 +238,19 @@ class TestPlyIO:
         v, f = plyio.read_ply(p)
         assert v.shape == (4, 3)
         np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
+
+
+class TestPrefetchLoader:
+    def test_yields_same_batches(self, fixture_dir):
+        root, _ = fixture_dir
+        src, tar = DS.pair_lists_indexed(str(root), 2)
+        ds = DS.RegistrationPairs(src, tar)
+        plain = DS.Loader(ds, batch_size=1, shuffle=False, drop_last=False)
+        pre = DS.PrefetchLoader(
+            DS.Loader(ds, batch_size=1, shuffle=False, drop_last=False))
+        a = list(plain)
+        b = list(pre)
+        assert len(a) == len(b) == len(pre)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["points_src_sample"],
+                                          y["points_src_sample"])
