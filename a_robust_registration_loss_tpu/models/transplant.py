@@ -58,18 +58,35 @@ def _ffn(sd, key):
 
 
 def dcp_from_state_dict(sd: Dict[str, np.ndarray], n_blocks: int = 1) -> dict:
-    """Reference DCP state_dict (pointnet + transformer + svd head) ->
-    our models.dcp.DCP params tree (as nested plain dicts).
-
-    Covers emb_nn='pointnet', pointer='transformer', head='svd' (the
-    svd head has no parameters; the mlp head and dgcnn embedder can be
-    added the same way on demand)."""
-    params: dict = {"emb_nn": {}, "pointer": {}}
+    """Reference DCP state_dict -> our models.dcp.DCP params tree (nested
+    plain dicts). Covers every config: emb_nn pointnet/dgcnn (detected from
+    the conv kernel rank), pointer transformer/identity (detected from key
+    presence), head svd (parameterless) / mlp (detected from head.* keys)."""
+    params: dict = {"emb_nn": {}}
     for i in range(5):
-        params["emb_nn"][f"Dense_{i}"] = _dense(sd, f"emb_nn.conv{i + 1}",
-                                                bias=False)
+        # pointnet: Conv1d (O, I, 1); dgcnn: Conv2d (O, I, 1, 1) — _dense
+        # squeezes Conv1d; squeeze the extra dgcnn axis first
+        w = np.asarray(sd[f"emb_nn.conv{i + 1}.weight"])
+        if w.ndim == 4:
+            w = w[:, :, :, 0]
+        params["emb_nn"][f"Dense_{i}"] = {"kernel": w[:, :, 0].T.copy()}
         params["emb_nn"][f"TorchGroupNorm_{i}"] = _groupnorm(
             sd, f"emb_nn.bn{i + 1}")
+
+    # MLPHead (dcp/model.py:334-362); the svd head only registers a
+    # parameterless `head.reflect` buffer
+    if "head.nn.0.weight" in sd:
+        head = {}
+        for j, li in enumerate([0, 3, 6]):
+            head[f"Dense_{j}"] = _dense(sd, f"head.nn.{li}")
+            head[f"TorchGroupNorm_{j}"] = _groupnorm(sd, f"head.nn.{li + 1}")
+        head["Dense_3"] = _dense(sd, "head.proj_rot")
+        head["Dense_4"] = _dense(sd, "head.proj_trans")
+        params["head"] = head
+
+    if not any(k.startswith("pointer.model.") for k in sd):
+        return params
+    params["pointer"] = {}
 
     for i in range(n_blocks):
         enc = f"pointer.model.encoder.layers.{i}"

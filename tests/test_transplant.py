@@ -132,6 +132,47 @@ def _fake_pointer_sd(d, ff, n_blocks):
     return sd
 
 
+class TestDCPVariantsTransplant:
+    def test_dgcnn_mlp_head_forward_parity(self, torch_models, rng):
+        """DCP with the DGCNN embedder + MLP quaternion head: transplanted
+        forward parity. The reference's get_graph_feature hardcodes a cuda
+        device (dcp/model.py:59, quirks ledger); the oracle runs with
+        torch.device patched to cpu — the only difference is placement."""
+        torch = torch_models.torch
+        torch.manual_seed(7)
+        args = types.SimpleNamespace(
+            emb_nn="dgcnn", pointer="identity", head="mlp",
+            emb_dims=64, n_blocks=1, n_heads=4, ff_dims=32, dropout=0.0,
+            cycle=False,
+        )
+        net = torch_models.dcp_model.DCP(args).eval()
+
+        from a_robust_registration_loss_tpu.models.dcp import DCP, DCPConfig
+        from a_robust_registration_loss_tpu.models import transplant
+
+        cfg = DCPConfig(emb_nn="dgcnn", pointer="identity", head="mlp",
+                        emb_dims=64, dgcnn_k=20)
+        model = DCP(cfg)
+        params = transplant.dcp_from_state_dict(_np_sd(net))
+        assert set(params) == {"emb_nn", "head"}
+
+        src = rng.standard_normal((2, 48, 3)).astype(np.float32)
+        tgt = rng.standard_normal((2, 48, 3)).astype(np.float32)
+        real_device = torch.device
+        try:
+            torch.device = lambda *a, **k: real_device("cpu")
+            with torch.no_grad():
+                R_t, t_t, _, _ = net(
+                    torch.from_numpy(src.transpose(0, 2, 1)),
+                    torch.from_numpy(tgt.transpose(0, 2, 1)))
+        finally:
+            torch.device = real_device
+        R_j, t_j, _, _ = model.apply({"params": params}, jnp.asarray(src),
+                                     jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(R_j), R_t.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(t_j), t_t.numpy(), atol=5e-5)
+
+
 class TestRPMNetTransplant:
     def test_full_forward_parity(self, torch_models, rng):
         """Full RPMNetEarlyFusion (2 registration iterations: parameter net,
