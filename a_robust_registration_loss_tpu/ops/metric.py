@@ -302,7 +302,12 @@ def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
 
 def _masked_lower_median(values, mask):
     """torch.median semantics on a masked flat set: the (n-1)//2-th order
-    statistic of the valid entries (lower middle for even n)."""
+    statistic of the valid entries (lower middle for even n).
+
+    One fused sort of the 16L-element masked buffer (~1.2 ms at L=20k on
+    TPU). A 32-step binary search on the fp32 bit pattern was tried and is
+    exact but SLOWER (~5 ms): the sequential fori_loop serializes 32
+    reduction passes, while the sort is a single fused op."""
     big = jnp.asarray(jnp.inf, values.dtype)
     flat = jnp.where(mask, values, big).reshape(-1)
     n = jnp.sum(mask)

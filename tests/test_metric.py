@@ -238,3 +238,20 @@ class TestGatherThenTransform:
         np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-4, atol=1e-7)
+
+
+class TestMaskedMedian:
+    """Masked lower-median semantics (torch.median parity is also pinned by
+    the whole-loss goldens; these are the direct edge cases)."""
+
+    def test_edge_cases(self):
+        assert float(M._masked_lower_median(
+            jnp.asarray([3.5]), jnp.asarray([True]))) == 3.5
+        # even count -> lower middle (torch.median semantics)
+        v = jnp.asarray([4.0, 1.0, 3.0, 2.0])
+        assert float(M._masked_lower_median(v, jnp.ones(4, bool))) == 2.0
+        v = jnp.asarray([0.0, 0.0, 1.0])
+        assert float(M._masked_lower_median(v, jnp.ones(3, bool))) == 0.0
+        out = M._masked_lower_median(jnp.asarray([1.0, 2.0]),
+                                     jnp.zeros(2, bool))
+        assert np.isinf(float(out))
