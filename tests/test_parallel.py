@@ -158,3 +158,28 @@ class TestShardedTrainStep:
         losses = [h["loss"] for h in history]
         assert np.isfinite(losses).all()
         assert losses[1] < losses[0]
+
+
+class TestShardedPallasBackend:
+    def test_line_sharded_metric_pallas_interpret(self, mesh8):
+        """The pallas (interpret) backend under a line-sharded batch on the
+        8-device mesh matches the unsharded XLA value — the multichip
+        compute path is backend-independent."""
+        n1, n2, lines = _problem(b=4, n_lines=128)
+        ref_loss, ref_valid = jax.jit(M.intersection_loss_batch)(n1, n2, lines)
+
+        @jax.jit
+        def sharded(a, b, l):
+            l = pmesh.constrain(l, mesh8, P("dp", "sp"))
+            return M.intersection_loss_batch(a, b, l, backend="pallas",
+                                             interpret=True)
+
+        with mesh8:
+            loss, valid = sharded(
+                jax.device_put(n1, pmesh.batch_sharding(mesh8)),
+                jax.device_put(n2, pmesh.batch_sharding(mesh8)),
+                jax.device_put(lines, pmesh.line_sharding(mesh8)),
+            )
+        np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
+                                   rtol=3e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
