@@ -148,10 +148,12 @@ def ablate_batch(batch, rng, add_noise: bool = False,
 
 def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
              log=print, add_noise: bool = False, add_density: bool = False,
-             seed: int = 0):
+             seed: int = 0, save_objs: bool = False):
     """FMRTest.evaluate (fmr/model.py:746-846): per-pair dm + twist CSV
     (eval_1__header/write) + summary, with the reference's noise/density
-    ablation hooks. Returns the mean dm."""
+    ablation hooks; ``save_objs`` additionally dumps src/pred/gt clouds per
+    pair (the reference's save_pred_gt_obj, fmr/model.py:810-846). Returns
+    the mean dm."""
     model, _, _, eval_step, _ = make_steps(cfg)
     eval_jit = jax.jit(eval_step)
 
@@ -179,6 +181,16 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
             for r in rows:
                 print(",".join(str(float(v)) for v in r), file=fout)
             dms.extend(np.asarray(dn).tolist())
+            if save_objs:
+                src = jnp.asarray(batch["points_src_sample"])
+                pred = se3.transform(g[:, None], src)
+                igt_inv = jax.vmap(se3.inverse)(jnp.asarray(batch["igt"]))
+                gt = se3.transform(igt_inv[:, None], src)
+                harness.dump_registration_objs(
+                    out_dir, f"pair{i}", np.asarray(src[0]),
+                    np.asarray(pred[0]),
+                    np.asarray(batch["points_tar_sample"][0]),
+                    np.asarray(gt[0]))
             log(f"test, {i}/{len(test_loader)}, dm={float(dm):.6f}")
     mean_dm = float(np.mean(dms)) if dms else float("nan")
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:
