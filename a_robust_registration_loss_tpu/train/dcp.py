@@ -135,7 +135,9 @@ def main(argv=None):
                     help="a reference DCP .pth checkpoint to transplant as "
                          "the initialization (the reference fine-tunes from "
                          "a supervised-pretrained net, Train_DCP.py:890-893)")
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="auto = pallas on TPU, xla elsewhere")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. cpu) — the axon TPU "
@@ -154,6 +156,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.devices()[0].platform not in ("cpu",)
+                        else "xla")
     mesh = None
     if args.dp:
         from a_robust_registration_loss_tpu.parallel import mesh as pmesh

@@ -212,10 +212,13 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_lines", type=int, default=15000)
+    ap.add_argument("--lr", type=float, default=1e-6)
     ap.add_argument("--dim_k", type=int, default=1024)
     ap.add_argument("--train_maxiter", type=int, default=5)
     ap.add_argument("--eval_maxiter", type=int, default=10)
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="auto = pallas on TPU, xla elsewhere")
     ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--add_noise", action="store_true",
                     help="eval ablation: gaussian 0.01 noise on the source "
@@ -241,6 +244,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.devices()[0].platform not in ("cpu",)
+                        else "xla")
     mesh = None
     if args.dp:
         from a_robust_registration_loss_tpu.parallel import mesh as pmesh
@@ -254,6 +260,7 @@ def main(argv=None):
     batch0 = next(iter(train_loader))
     n_pts = batch0["points_src_sample"].shape[1]
     cfg = FMRTrainConfig(
+        lr=args.lr,
         train_maxiter=args.train_maxiter, eval_maxiter=args.eval_maxiter,
         loss=L.LossConfig(n_lines=args.n_lines, backend=args.backend),
         model=FMRConfig(dim_k=args.dim_k, num_points=n_pts),

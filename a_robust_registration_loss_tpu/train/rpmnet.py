@@ -193,10 +193,14 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_lines", type=int, default=10000)
     ap.add_argument("--wt_inliers", type=float, default=1e-2)
+    ap.add_argument("--max_lr", type=float, default=2e-5,
+                    help="the OneCycle plateau lr (Train_RPM.py:385)")
     ap.add_argument("--train_reg_iter", type=int, default=2)
     ap.add_argument("--eval_reg_iter", type=int, default=5)
     ap.add_argument("--pretrain_epochs", type=int, default=0)
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="auto = pallas on TPU, xla elsewhere")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. cpu) — the axon TPU "
@@ -215,6 +219,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.devices()[0].platform not in ("cpu",)
+                        else "xla")
     mesh = None
     if args.dp:
         from a_robust_registration_loss_tpu.parallel import mesh as pmesh
@@ -226,6 +233,7 @@ def main(argv=None):
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
         train_batch=args.batch_size, seed=args.seed))
     cfg = RPMTrainConfig(
+        max_lr=args.max_lr,
         num_train_reg_iter=args.train_reg_iter,
         num_eval_reg_iter=args.eval_reg_iter,
         pretrain_epochs=args.pretrain_epochs,

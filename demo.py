@@ -80,7 +80,8 @@ def main(args):
         num_sample=args.num_sample,
         seed=args.seed,
         log_every=args.log_every,
-        line_chunk=args.line_chunk,
+        line_chunk=None if args.line_chunk <= 0 else args.line_chunk,
+        backend=args.backend,
     )
     os.makedirs(args.Save_path, exist_ok=True)
     t0 = time.perf_counter()
@@ -123,12 +124,19 @@ if __name__ == "__main__":
     parser.add_argument("--num_sample", type=int, default=5000)
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--line_chunk", type=int, default=4096)
-    parser.add_argument("--backend", type=str, default="xla",
-                        choices=["xla", "pallas"])
+    parser.add_argument("--backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="auto = pallas on TPU, xla elsewhere")
     parser.add_argument("--labels", type=str, default=None,
                         help="comma-separated labels for BATCHED multi-pair "
                              "registration (one jitted program)")
     _args = parser.parse_args()
+    if _args.backend == "auto":
+        import jax
+
+        _args.backend = ("pallas"
+                         if jax.devices()[0].platform not in ("cpu",)
+                         else "xla")
     if _args.labels:
         main_batch(_args)
     else:
