@@ -73,27 +73,35 @@ def _transform_path(tar_sample_path: str) -> str:
 
 
 def load_pair(src_path: str, tar_path: str, dcp: bool = False,
-              fmr: bool = False) -> dict:
+              fmr: bool = False, estimate_normals: bool = False) -> dict:
     """One registration pair as the reference's dict contract
     (pre_dataloader.py:78-181). All values float32 numpy.
 
     Graceful degradation (divergence from the reference, which crashes):
-    missing ``*_sample_normals.obj`` companions yield zero normals (normals
-    only feed RPM-Net's PPF features), and a missing ``*transform*.bin``
+    missing ``*_sample_normals.obj`` companions yield zero normals, or
+    device-side PCA estimates when ``estimate_normals`` is set (normals only
+    feed RPM-Net's PPF features; the reference cannot produce normals for
+    bare clouds at all), and a missing ``*transform*.bin``
     yields identity GT (R = I, T = 0 in the original frames — GT only feeds
     the monitoring metrics, never the unsupervised losses). The committed
     reference sample data ships without either companion."""
     v_src, _ = objio.read_obj(src_path)
     v_tar, _ = objio.read_obj(tar_path)
 
-    def _read_normals(path, n):
+    def _read_normals(path, verts):
         if os.path.exists(path):
             nrm, _ = objio.read_obj(path)
             return nrm
-        return np.zeros((n, 3), np.float32)
+        if estimate_normals:
+            import jax.numpy as jnp
 
-    normals_src = _read_normals(_normals_path(src_path), v_src.shape[0])
-    normals_tar = _read_normals(_normals_path(tar_path), v_tar.shape[0])
+            from a_robust_registration_loss_tpu.ops import geometry as G
+
+            return np.asarray(G.estimate_normals(jnp.asarray(verts)))
+        return np.zeros((verts.shape[0], 3), np.float32)
+
+    normals_src = _read_normals(_normals_path(src_path), v_src)
+    normals_tar = _read_normals(_normals_path(tar_path), v_tar)
     neighs_src = np.fromfile(_neigh_path(src_path), np.float32).reshape(-1, 3)
     neighs_tar = np.fromfile(_neigh_path(tar_path), np.float32).reshape(-1, 3)
 
@@ -152,20 +160,23 @@ class RegistrationPairs:
     """Indexable pair dataset over path lists (the Dataset_2021_8_29 role)."""
 
     def __init__(self, src_paths: Sequence[str], tar_paths: Sequence[str],
-                 dcp: bool = False, fmr: bool = False):
+                 dcp: bool = False, fmr: bool = False,
+                 estimate_normals: bool = False):
         if len(src_paths) != len(tar_paths):
             raise ValueError("src/tar path lists differ in length")
         self.src_paths = list(src_paths)
         self.tar_paths = list(tar_paths)
         self.dcp = dcp
         self.fmr = fmr
+        self.estimate_normals = estimate_normals
 
     def __len__(self):
         return len(self.src_paths)
 
     def __getitem__(self, i: int) -> dict:
         return load_pair(self.src_paths[i], self.tar_paths[i],
-                         dcp=self.dcp, fmr=self.fmr)
+                         dcp=self.dcp, fmr=self.fmr,
+                         estimate_normals=self.estimate_normals)
 
 
 def collate(items: List[dict]) -> dict:
@@ -277,6 +288,7 @@ class DatasetConfig:
     seed: int = 0
     dcp: bool = False
     fmr: bool = False
+    estimate_normals: bool = False
 
 
 def generate_datasets(cfg: DatasetConfig):
@@ -293,10 +305,12 @@ def generate_datasets(cfg: DatasetConfig):
     tar = [tar[i] for i in keep]
     n_train = cfg.train_count if cfg.train_count is not None else len(src)
     train_ds = RegistrationPairs(src[:n_train], tar[:n_train],
-                                 dcp=cfg.dcp, fmr=cfg.fmr)
+                                 dcp=cfg.dcp, fmr=cfg.fmr,
+                                 estimate_normals=cfg.estimate_normals)
     test_src = src[n_train:] or src[:cfg.test_count or len(src)]
     test_tar = tar[n_train:] or tar[:cfg.test_count or len(tar)]
-    test_ds = RegistrationPairs(test_src, test_tar, dcp=cfg.dcp, fmr=cfg.fmr)
+    test_ds = RegistrationPairs(test_src, test_tar, dcp=cfg.dcp, fmr=cfg.fmr,
+                                estimate_normals=cfg.estimate_normals)
     train = Loader(train_ds, cfg.train_batch, shuffle=True, drop_last=True,
                    seed=cfg.seed)
     test = Loader(test_ds, cfg.test_batch, shuffle=False, drop_last=False,

@@ -219,3 +219,29 @@ def chamfer_distance(points_x, points_y):
     d1 = jnp.min(sqrdis, axis=2).reshape(-1)
     d2 = jnp.min(sqrdis, axis=1).reshape(-1)
     return jnp.mean(jnp.concatenate([d1, d2], 0))
+
+
+def estimate_normals(points, k: int = 16):
+    """Per-point unit normals by local PCA: the smallest-eigenvector of each
+    point's k-NN covariance (beyond the reference, which can only take
+    normals from meshes via trimesh, utils.py:410-411 — bare point clouds
+    like the committed sample data get none). Signs are made consistent by
+    orienting away from the cloud centroid (registration features like
+    RPM-Net's PPF use normals only through angles, so global orientation
+    convention is immaterial).
+
+    points: (N, 3) or (B, N, 3) -> unit normals of the same shape; jittable.
+    """
+    pts = points[None] if points.ndim == 2 else points
+    _, idx = knn_points(pts, pts, k)          # (B, N, k) incl. self
+    nbrs = index_points(pts, idx.reshape(pts.shape[0], -1)).reshape(
+        pts.shape[0], pts.shape[1], k, 3)
+    centered = nbrs - nbrs.mean(axis=2, keepdims=True)
+    cov = jnp.einsum("bnki,bnkj->bnij", centered, centered, precision=_HI)
+    # eigh returns ascending eigenvalues: column 0 = smallest = normal
+    _, vecs = jnp.linalg.eigh(cov)
+    n = vecs[..., :, 0]
+    outward = pts - pts.mean(axis=1, keepdims=True)
+    sign = jnp.where(jnp.sum(n * outward, -1, keepdims=True) < 0, -1.0, 1.0)
+    n = n * sign
+    return n[0] if points.ndim == 2 else n

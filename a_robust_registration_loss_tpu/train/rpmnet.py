@@ -198,6 +198,8 @@ def main(argv=None):
     ap.add_argument("--train_reg_iter", type=int, default=2)
     ap.add_argument("--eval_reg_iter", type=int, default=5)
     ap.add_argument("--pretrain_epochs", type=int, default=0)
+    ap.add_argument("--estimate_normals", action="store_true",
+                    help="PCA-estimate missing normals (bare point clouds)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -231,7 +233,8 @@ def main(argv=None):
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
-        train_batch=args.batch_size, seed=args.seed))
+        train_batch=args.batch_size, seed=args.seed,
+        estimate_normals=args.estimate_normals))
     cfg = RPMTrainConfig(
         max_lr=args.max_lr,
         num_train_reg_iter=args.train_reg_iter,

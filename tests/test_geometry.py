@@ -154,3 +154,34 @@ class TestObjIO:
         v, f = objio.read_obj(path)
         assert v.shape[1] == 3 and v.shape[0] > 100
         assert np.all(np.isfinite(v))
+
+
+class TestEstimateNormals:
+    def test_sphere_normals_radial(self):
+        """On a sphere, PCA normals must align with the radial direction."""
+        n = 512
+        i = np.arange(n) + 0.5
+        phi = np.arccos(1 - 2 * i / n)
+        th = np.pi * (1 + 5**0.5) * i
+        pts = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                        np.cos(phi)], -1).astype(np.float32)
+        normals = np.asarray(G.estimate_normals(jnp.asarray(pts), k=12))
+        np.testing.assert_allclose(np.linalg.norm(normals, axis=-1), 1.0,
+                                   atol=1e-5)
+        cos = np.abs(np.sum(normals * pts, -1))  # radial = the point itself
+        assert np.median(cos) > 0.99
+        # outward orientation (away from centroid ~ origin)
+        assert (np.sum(normals * pts, -1) > 0).mean() > 0.95
+
+    def test_plane_normals(self):
+        rng = np.random.default_rng(0)
+        pts = np.zeros((256, 3), np.float32)
+        pts[:, :2] = rng.standard_normal((256, 2))
+        normals = np.asarray(G.estimate_normals(jnp.asarray(pts), k=8))
+        np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-4)
+
+    def test_batched(self):
+        rng = np.random.default_rng(1)
+        pts = rng.standard_normal((2, 64, 3)).astype(np.float32)
+        out = G.estimate_normals(jnp.asarray(pts), k=8)
+        assert out.shape == (2, 64, 3)
