@@ -200,6 +200,13 @@ class Loader:
         self.seed = seed
         self.epoch = 0
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch (the torch-DDP sampler pattern): the
+        training harness calls this each epoch so batch order is a pure
+        function of (seed, epoch) — reproducible across kill-and-resume and
+        unaffected by extra __iter__ consumers (artifact dumps)."""
+        self.epoch = int(epoch)
+
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
@@ -228,6 +235,10 @@ class PrefetchLoader:
     def __init__(self, loader, depth: int = 2):
         self.loader = loader
         self.depth = depth
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
 
     def __len__(self):
         return len(self.loader)

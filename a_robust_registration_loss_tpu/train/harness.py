@@ -116,6 +116,8 @@ class Trainer:
         step_idx = 0
         history = []
         for epoch in range(start, epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             ekey = jax.random.fold_in(root_key, epoch)
             t0 = time.perf_counter()
             agg, n_batches = {}, 0

@@ -254,3 +254,23 @@ class TestPrefetchLoader:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x["points_src_sample"],
                                           y["points_src_sample"])
+
+
+class TestLoaderSetEpoch:
+    def test_epoch_pinning_reproducible(self, fixture_dir):
+        """set_epoch makes batch order a pure function of (seed, epoch):
+        extra __iter__ consumers (e.g. artifact dumps) cannot shift it."""
+        root, _ = fixture_dir
+        src, tar = DS.pair_lists_indexed(str(root), 2)
+        ds = DS.RegistrationPairs(src, tar)
+
+        a = DS.Loader(ds, batch_size=1, shuffle=True, seed=7)
+        a.set_epoch(3)
+        order_a = [b["T"][0].tolist() for b in a]
+
+        b = DS.Loader(ds, batch_size=1, shuffle=True, seed=7)
+        list(b)  # perturb: consume some epochs
+        list(b)
+        b.set_epoch(3)
+        order_b = [x["T"][0].tolist() for x in b]
+        assert order_a == order_b
