@@ -58,18 +58,27 @@ def bounding_box_corners_np(v):
     )
 
 
+def _sibling(path: str, old: str, new: str) -> str:
+    """Companion-file naming applied to the BASENAME only. The reference
+    replaces on the whole path (pre_dataloader.py:88,95,114), which silently
+    resolves to the wrong file when a directory component contains the
+    pattern — e.g. its own committed layout ``sample_data/0_src_sample.obj``
+    would look for normals in ``sample_normals_data/``. Knowing fix."""
+    head, base = os.path.split(path)
+    return os.path.join(head, base.replace(old, new, 1))
+
+
 def _normals_path(sample_path: str) -> str:
-    return sample_path.replace("sample", "sample_normals", 1)
+    return _sibling(sample_path, "sample", "sample_normals")
 
 
 def _neigh_path(sample_path: str) -> str:
-    return sample_path.replace(".obj", "_neigh.bin", 1)
+    return _sibling(sample_path, ".obj", "_neigh.bin")
 
 
 def _transform_path(tar_sample_path: str) -> str:
-    return tar_sample_path.replace("tar_sample", "transform", 1).replace(
-        ".obj", ".bin", 1
-    )
+    return _sibling(_sibling(tar_sample_path, "tar_sample", "transform"),
+                    ".obj", ".bin")
 
 
 def load_pair(src_path: str, tar_path: str, dcp: bool = False,

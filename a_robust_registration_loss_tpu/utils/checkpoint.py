@@ -84,6 +84,10 @@ class CheckPointManager:
         # when a checkpoint rotates OUT of the buffer — the first eviction is
         # always promoted, then one per keep_every_n_hours of save-time
         st = self._state
+        # re-saving a step (e.g. a crash between save and manifest write)
+        # replaces its entry rather than duplicating it — a duplicate would
+        # later evict and delete the directory the live entry points at
+        st["rotating"] = [e for e in st["rotating"] if e[0] != step]
         st["rotating"].append([step, now])
         while len(st["rotating"]) > self.max_to_keep:
             old_step, old_time = st["rotating"].pop(0)

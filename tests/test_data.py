@@ -274,3 +274,31 @@ class TestLoaderSetEpoch:
         b.set_epoch(3)
         order_b = [x["T"][0].tolist() for x in b]
         assert order_a == order_b
+
+
+class TestCompanionPaths:
+    def test_dir_names_containing_pattern(self, tmp_path, rng):
+        """Companion naming must not be hijacked by directory components
+        (the reference's full-path replace would look for normals of
+        sample_data/0_src_sample.obj in sample_normals_data/)."""
+        d = tmp_path / "sample_data"
+        d.mkdir()
+        src = rng.standard_normal((32, 3)).astype(np.float32)
+        tar = (src + np.float32([0.1, 0, 0]))
+        objio.write_obj(str(d / "0_src_sample.obj"), src)
+        objio.write_obj(str(d / "0_tar_sample.obj"), tar)
+        nrm = np.tile(np.float32([[0, 0, 1]]), (32, 1))
+        objio.write_obj(str(d / "0_src_sample_normals.obj"), nrm)
+        objio.write_obj(str(d / "0_tar_sample_normals.obj"), nrm)
+        gt = np.concatenate([np.eye(3), np.float64([[0.1], [0], [0]])], 1)
+        gt.astype(np.float64).tofile(str(d / "0_transform.bin"))
+        precompute.main(["--data_path", str(d), "--num_sample", "16"])
+
+        out = DS.load_pair(str(d / "0_src_sample.obj"),
+                           str(d / "0_tar_sample.obj"))
+        # normals actually read (not the zero fallback), transform read and
+        # re-expressed in centered frames: tar = src + 0.1 -> centered T = 0
+        np.testing.assert_allclose(out["normals_src"], nrm)
+        np.testing.assert_allclose(out["T"], 0.0, atol=1e-5)
+        pred = out["points_src_sample"] @ out["R"] + out["T"]
+        np.testing.assert_allclose(pred, out["points_tar_sample"], atol=1e-5)

@@ -424,3 +424,20 @@ def dataclasses_replace_epochs(cfg, epochs):
     import dataclasses as dc
 
     return dc.replace(cfg, fit=dc.replace(cfg.fit, epochs=epochs))
+
+
+class TestCheckpointResave:
+    def test_same_step_resave_no_stale_eviction(self, tmp_path):
+        from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+        m = CheckPointManager(str(tmp_path), max_to_keep=2,
+                              keep_every_n_hours=1e9)
+        st = lambda x: {"params": {"w": jnp.full((2,), float(x))}}
+        m.save(0, st(0), _now=1.0)
+        m.save(0, st(10), _now=2.0)  # re-save same step
+        m.save(1, st(1), _now=3.0)
+        m.save(2, st(2), _now=4.0)   # evicts step 0 once, not twice
+        loaded, step = m.load(st(0))
+        assert step == 2
+        loaded, _ = m.load(st(0), step=1)
+        assert float(loaded["params"]["w"][0]) == 1.0
