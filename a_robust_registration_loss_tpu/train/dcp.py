@@ -150,8 +150,6 @@ def main(argv=None):
                          "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
     args = ap.parse_args(argv)
 
-    import jax
-
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:

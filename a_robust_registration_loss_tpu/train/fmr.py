@@ -154,8 +154,7 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
     ablation hooks; ``save_objs`` additionally dumps src/pred/gt clouds per
     pair (the reference's save_pred_gt_obj, fmr/model.py:810-846). Returns
     the mean dm."""
-    model, _, _, eval_step, _ = make_steps(cfg)
-    eval_jit = jax.jit(eval_step)
+    model, _, _, _, _ = make_steps(cfg)
 
     def g_of(batch, key):
         out = model.apply({"params": params}, batch["points_tar_sample"],
@@ -237,8 +236,6 @@ def main(argv=None):
                     help="raise on NaN in any jitted op (the reference's "
                          "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
     args = ap.parse_args(argv)
-
-    import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
