@@ -45,9 +45,10 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
 
     lines_ref: (8, TL)  rows 0-2 = direction, 3-5 = origin (6,7 padding)
     p_ref:     (16, TF) rows 0-8 = the 3 neighbors' xyz, row 9 = squared
-               threshold, row 10 = face-valid flag (rest padding)
+               threshold (-inf on padded faces encodes face validity; rest
+               of the rows are layout padding)
     outputs (per line tile): count (1, TL), slot_idx (KMAX, TL),
-               slot_d (KMAX*NNEI, TL)
+               slot_d (KMAX*NNEI, TL), slot_r (KMAX*3, TL)
     """
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
