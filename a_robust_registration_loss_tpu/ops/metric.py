@@ -64,6 +64,9 @@ def welsch(x, c):
     return 1.0 - jnp.exp(-(x / c) / 2.0)
 
 
+NNEI_DEFAULT = 3
+
+
 class Intersections(NamedTuple):
     """Fixed-shape per-line intersection record (stage-1 output).
 
@@ -111,26 +114,79 @@ def _stage1_chunk(P, delta, lines_chunk, kmax: int):
     return Intersections(count, slot_idx, w)
 
 
+def _pallas_outputs_to_inter(point_neis, outputs):
+    """(count, slot_idx, slot_d2 | None, slot_recon | None, slot_pts | None)
+    from the kernel -> (Intersections, recon | None). Weights are derived
+    from the raw distances when the kernel emitted them, and left as zeros
+    otherwise (the rigid fast path never reads them). When the kernel
+    emitted the raw gathered neighbor coordinates (emit_pts), the weighted
+    reconstruction sum_i w_i p_i is formed here from (d2, pts) — the same
+    arithmetic the kernel's emit_recon mode does densely per (face, line),
+    but on only the <= kmax selected slots per line."""
+    count, slot_idx, slot_d2, slot_recon, slot_pts = outputs
+    F = point_neis.shape[0]
+    filled = slot_idx < F
+    slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
+    if slot_d2 is not None:
+        d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
+        w = d / jnp.sum(d, -1, keepdims=True)
+        w = jnp.where(filled[..., None], w, 0.0)
+    else:
+        w = jnp.zeros(slot_idx.shape + (NNEI_DEFAULT,), point_neis.dtype)
+    recon = None
+    if slot_recon is not None:
+        recon = jnp.where(filled[..., None], slot_recon, 0.0)
+    elif slot_pts is not None:
+        recon = jnp.sum(w[..., None] * slot_pts, axis=-2)  # (L, kmax, 3)
+    return Intersections(count, slot_idx, w), recon
+
+
 def _find_intersections_pallas(point_neis, lines, kmax: int,
-                               interpret: bool):
-    """Pallas stage 1 -> (Intersections, raw slot reconstruction (L, kmax, 3)
-    = sum_i w_i p_i, emitted in-kernel)."""
+                               interpret: bool, emit_recon: bool = True):
+    """Pallas stage 1 -> (Intersections, slot reconstruction (L, kmax, 3)
+    = sum_i w_i p_i, emitted in-kernel — or None when emit_recon=False).
+    When the reconstruction is not needed (the generic gather paths) the
+    kernel also skips its dense per-(face, line) weight math — measured
+    ~0.4 ms per cloud at L=20k on TPU."""
     from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
 
     if kmax != PK.KMAX:
         raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
     delta = neighborhood_delta(jax.lax.stop_gradient(point_neis))
-    count, slot_idx, slot_d2, slot_recon = PK.intersect_stage1(
-        point_neis, lines, delta, interpret=interpret
-    )
-    F = point_neis.shape[0]
-    filled = slot_idx < F
-    slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
-    d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
-    w = d / jnp.sum(d, -1, keepdims=True)
-    w = jnp.where(filled[..., None], w, 0.0)
-    recon = jnp.where(filled[..., None], slot_recon, 0.0)
-    return Intersections(count, slot_idx, w), recon
+    outputs = PK.intersect_stage1(point_neis, lines, delta,
+                                  emit_recon=emit_recon,
+                                  interpret=interpret)
+    return _pallas_outputs_to_inter(point_neis, outputs)
+
+
+def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
+                                    kmax: int, interpret: bool,
+                                    emit_recon: bool):
+    """Both clouds' stage 1 in ONE kernel dispatch (the common case: every
+    metric evaluation needs both sides against the same lines).
+
+    Mode selection, measured at L=20k / F=2048 on one v5e chip:
+    - emit_recon=False (the gather paths, which only need weights):
+      d2-only pair = 1.21 ms — vs 2 x 1.14 ms single dispatches.
+    - emit_recon=True (the rigid fast path, which only needs the in-kernel
+      reconstruction): recon-only pair = 1.77 ms; the alternative of
+      emitting raw per-slot coords and reconstructing outside (emit_pts)
+      measured 2.06 ms — the 36 extra per-slot reductions cost more than
+      the dense weight math they avoid, so the kernel keeps recon inline.
+    """
+    from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
+
+    if kmax != PK.KMAX:
+        raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
+    d1 = neighborhood_delta(jax.lax.stop_gradient(point_neis1))
+    d2 = neighborhood_delta(jax.lax.stop_gradient(point_neis2))
+    out1, out2 = PK.intersect_stage1_pair(point_neis1, point_neis2, lines,
+                                          d1, d2,
+                                          emit_d2=not emit_recon,
+                                          emit_recon=emit_recon,
+                                          interpret=interpret)
+    return (_pallas_outputs_to_inter(point_neis1, out1),
+            _pallas_outputs_to_inter(point_neis2, out2))
 
 
 def neighborhood_delta(point_neis):
@@ -160,7 +216,7 @@ def find_intersections(point_neis, lines, kmax: int = 4,
     """
     if backend == "pallas":
         inter, _ = _find_intersections_pallas(point_neis, lines, kmax,
-                                              interpret)
+                                              interpret, emit_recon=False)
         return inter
 
     point_neis = jax.lax.stop_gradient(point_neis)
@@ -245,10 +301,15 @@ def intersection_loss_transformed(apply_fn, point_neis1, point_neis2, lines,
     neis1_t = jax.lax.stop_gradient(
         apply_fn(point_neis1.reshape(-1, 3)).reshape(point_neis1.shape)
     )
-    inter1 = find_intersections(neis1_t, lines, kmax, line_chunk, backend,
-                                interpret)
-    inter2 = find_intersections(point_neis2, lines, kmax, line_chunk, backend,
-                                interpret)
+    if backend == "pallas":
+        (inter1, _), (inter2, _) = _find_intersections_pallas_pair(
+            neis1_t, point_neis2, lines, kmax, interpret,
+            emit_recon=False)
+    else:
+        inter1 = find_intersections(neis1_t, lines, kmax, line_chunk, backend,
+                                    interpret)
+        inter2 = find_intersections(point_neis2, lines, kmax, line_chunk,
+                                    backend, interpret)
     pts1 = reconstruct_intersection_points_via(point_neis1, inter1, apply_fn)
     pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)
@@ -275,10 +336,9 @@ def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
     neis1_t = jax.lax.stop_gradient(
         (point_neis1.reshape(-1, 3) @ R + t).reshape(point_neis1.shape)
     )
-    inter1, recon1 = _find_intersections_pallas(neis1_t, lines, kmax,
-                                                interpret)
-    inter2, recon2 = _find_intersections_pallas(point_neis2, lines, kmax,
-                                                interpret)
+    (inter1, recon1), (inter2, recon2) = _find_intersections_pallas_pair(
+        neis1_t, point_neis2, lines, kmax, interpret,
+        emit_recon=True)
     F1 = point_neis1.shape[0]
     F2 = point_neis2.shape[0]
     nnei = point_neis1.shape[1] // 3
@@ -377,8 +437,15 @@ def intersection_loss(point_neis1, point_neis2, lines, kmin: int = 1,
     its deep-learning harnesses call it on [j:j+1] slices — batching here is
     ``jax.vmap`` over this function, preserving the per-sample contract.
     """
-    inter1 = find_intersections(point_neis1, lines, kmax, line_chunk, backend, interpret)
-    inter2 = find_intersections(point_neis2, lines, kmax, line_chunk, backend, interpret)
+    if backend == "pallas":
+        (inter1, _), (inter2, _) = _find_intersections_pallas_pair(
+            point_neis1, point_neis2, lines, kmax, interpret,
+            emit_recon=False)
+    else:
+        inter1 = find_intersections(point_neis1, lines, kmax, line_chunk,
+                                    backend, interpret)
+        inter2 = find_intersections(point_neis2, lines, kmax, line_chunk,
+                                    backend, interpret)
     pts1 = reconstruct_intersection_points(point_neis1, inter1)
     pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)

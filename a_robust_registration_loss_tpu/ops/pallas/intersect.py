@@ -15,6 +15,17 @@ hit ranking is an inclusive prefix sum over the face (sublane) axis done as
 ONE MXU matmul with a lower-triangular mask (binary inputs, so fp32-exact)
 — no scalar loops, no per-lane strided writes, no log-step shuffles.
 
+Two output modes trim the per-slot masked reductions (the second-largest
+cost after the dense distance math) to what the consumer actually reads:
+``emit_d2`` (raw per-neighbor distances — the generic gather path derives
+its weights from them) and ``emit_recon`` (the in-kernel weighted slot
+reconstruction — the rigid fast path consumes it directly and never touches
+d2). Each flag owns 12 of the ~32 per-tile reductions.
+
+``intersect_stage1_pair`` runs BOTH clouds of a registration pair in one
+``pallas_call`` (leading cloud grid axis): one dispatch instead of two, and
+the line tiles stream through the same pipeline back to back.
+
 The kernel is forward-only by design: stage 1 is non-differentiable in the
 reference too (detached weights, boolean labels — loss.py:92,107-112); the
 differentiable reconstruction happens outside in plain JAX
@@ -38,20 +49,35 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
-            slot_r_ref, cnt_acc, idx_acc, d_acc, r_acc):
-    """Grid: (line_tiles, face_tiles); face tile index j advances fastest, so
-    the per-line accumulators in VMEM scratch carry across the F sweep.
+def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
+            emit_recon: bool, emit_pts: bool):
+    """Grid: (..., line_tiles, face_tiles); the face tile index (grid axis
+    ``face_axis``, always last) advances fastest, so the per-line
+    accumulators in VMEM scratch carry across the F sweep. Any leading grid
+    axes (the cloud axis of the paired variant) change slower than the line
+    axis, so each (cloud, line-tile) combination gets a full, independent
+    F sweep.
 
     lines_ref: (8, TL)  rows 0-2 = direction, 3-5 = origin (6,7 padding)
     p_ref:     (16, TF) rows 0-8 = the 3 neighbors' xyz, row 9 = squared
                threshold (-inf on padded faces encodes face validity; rest
                of the rows are layout padding)
     outputs (per line tile): count (1, TL), slot_idx (KMAX, TL),
-               slot_d (KMAX*NNEI, TL), slot_r (KMAX*3, TL)
+               [slot_d (KMAX*NNEI, TL) if emit_d2],
+               [slot_r (KMAX*3, TL) if emit_recon]
     """
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
+    refs = list(refs)
+    count_ref, slot_idx_ref = refs.pop(0), refs.pop(0)
+    slot_d_ref = refs.pop(0) if emit_d2 else None
+    slot_r_ref = refs.pop(0) if emit_recon else None
+    slot_p_ref = refs.pop(0) if emit_pts else None
+    cnt_acc, idx_acc = refs.pop(0), refs.pop(0)
+    d_acc = refs.pop(0) if emit_d2 else None
+    r_acc = refs.pop(0) if emit_recon else None
+    p_acc = refs.pop(0) if emit_pts else None
+
+    j = pl.program_id(face_axis)
+    n_j = pl.num_programs(face_axis)
     TF = p_ref.shape[1]
     TL = lines_ref.shape[1]
 
@@ -59,8 +85,12 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
     def _init():
         cnt_acc[:] = jnp.zeros_like(cnt_acc)
         idx_acc[:] = jnp.full_like(idx_acc, 2**30)
-        d_acc[:] = jnp.zeros_like(d_acc)
-        r_acc[:] = jnp.zeros_like(r_acc)
+        if emit_d2:
+            d_acc[:] = jnp.zeros_like(d_acc)
+        if emit_recon:
+            r_acc[:] = jnp.zeros_like(r_acc)
+        if emit_pts:
+            p_acc[:] = jnp.zeros_like(p_acc)
 
     thr2 = p_ref[9, :]  # (TF,) squared threshold (delta*1.731/2)^2 - 2e-4
 
@@ -81,20 +111,23 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         label = ok if label is None else (label & ok)
     # padded faces carry thr2 == -inf, so their labels are already False
 
-    # raw weighted reconstruction wp_c = sum_i (d_i / sum_j d_j) * p_i_c per
-    # (face, line) pair — the same op sequence as the XLA glue (sqrt of
-    # d2 + 2e-4, normalize, weight), so selected slots match it exactly
-    # max(., 0) guards the sqrt against fp-cancellation negatives on padded
-    # or far faces (never selected, but NaN * 0 would poison the reductions);
-    # exact no-op for the selected faces (their d2 + 2e-4 > 0)
-    d = [jnp.sqrt(jnp.maximum(d2[i] + 2e-4, 0.0)) for i in range(NNEI)]
-    dsum = d[0] + d[1] + d[2]
-    wp = []
-    for c in range(3):
-        acc = jnp.zeros((TF, TL), jnp.float32)
-        for i in range(NNEI):
-            acc += (d[i] / dsum) * p_ref[3 * i + c, :][:, None]
-        wp.append(acc)
+    if emit_recon:
+        # raw weighted reconstruction wp_c = sum_i (d_i / sum_j d_j) * p_i_c
+        # per (face, line) pair — same math as the XLA glue (sqrt of
+        # d2 + 2e-4, normalize, weight) with the divide hoisted to one
+        # reciprocal (one extra rounding vs the glue, within fp32 tolerance).
+        # max(., 0) guards the sqrt against fp-cancellation negatives on
+        # padded or far faces (never selected, but NaN * 0 would poison the
+        # reductions); exact no-op for the selected faces (d2 + 2e-4 > 0).
+        d = [jnp.sqrt(jnp.maximum(d2[i] + 2e-4, 0.0)) for i in range(NNEI)]
+        dinv = 1.0 / (d[0] + d[1] + d[2])
+        w = [d[i] * dinv for i in range(NNEI)]  # one divide, three mults
+        wp = []
+        for c in range(3):
+            acc = jnp.zeros((TF, TL), jnp.float32)
+            for i in range(NNEI):
+                acc += w[i] * p_ref[3 * i + c, :][:, None]
+            wp.append(acc)
 
     hits = label.astype(jnp.float32)  # (TF, TL)
     # inclusive prefix-sum over faces via one MXU matmul with a lower-
@@ -115,12 +148,22 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
         idx_s = jnp.sum(m * face_ids, axis=0)
         take = got > 0.5
         idx_acc[s, :] = jnp.where(take, idx_s.astype(jnp.int32), idx_acc[s, :])
-        for i in range(NNEI):
-            v = jnp.sum(m * d2[i], axis=0)
-            d_acc[s * NNEI + i, :] = jnp.where(take, v, d_acc[s * NNEI + i, :])
-        for c in range(3):
-            r = jnp.sum(m * wp[c], axis=0)
-            r_acc[s * 3 + c, :] = jnp.where(take, r, r_acc[s * 3 + c, :])
+        if emit_d2:
+            for i in range(NNEI):
+                v = jnp.sum(m * d2[i], axis=0)
+                d_acc[s * NNEI + i, :] = jnp.where(take, v,
+                                                   d_acc[s * NNEI + i, :])
+        if emit_recon:
+            for c in range(3):
+                r = jnp.sum(m * wp[c], axis=0)
+                r_acc[s * 3 + c, :] = jnp.where(take, r, r_acc[s * 3 + c, :])
+        if emit_pts:
+            # raw gathered neighbor coords: the consumer forms the weights
+            # and the weighted reconstruction outside the kernel, skipping
+            # the dense per-(face, line) wp math entirely
+            for q in range(9):
+                v = jnp.sum(m * p_ref[q, :][:, None], axis=0)
+                p_acc[s * 9 + q, :] = jnp.where(take, v, p_acc[s * 9 + q, :])
 
     cnt_acc[0, :] += jnp.sum(hits, axis=0).astype(jnp.int32)
 
@@ -128,19 +171,131 @@ def _kernel(lines_ref, p_ref, count_ref, slot_idx_ref, slot_d_ref,
     def _emit():
         count_ref[:] = cnt_acc[:]
         slot_idx_ref[:] = idx_acc[:]
-        slot_d_ref[:] = d_acc[:]
-        slot_r_ref[:] = r_acc[:]
+        if emit_d2:
+            slot_d_ref[:] = d_acc[:]
+        if emit_recon:
+            slot_r_ref[:] = r_acc[:]
+        if emit_pts:
+            slot_p_ref[:] = p_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tl", "tf", "interpret"))
-def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
+def _pack_faces(point_neis, delta, Fp):
+    """(F, 9) neighborhoods + (F,) deltas -> the (16, Fp) face tensor: rows
+    0-8 neighbors, row 9 squared threshold (-inf on padded faces, which
+    keeps their labels False with no extra mask)."""
+    F = point_neis.shape[0]
+    thr = (delta * (1.731 / 2.0)) ** 2 - 2e-4
+    p_packed = jnp.zeros((16, Fp), jnp.float32)
+    p_packed = p_packed.at[0:9, :F].set(point_neis.T)
+    p_packed = p_packed.at[9, :F].set(thr)
+    p_packed = p_packed.at[9, F:].set(-jnp.inf)
+    return p_packed
+
+
+def _pack_lines(lines, Lp):
+    """(L, 6) lines -> (8, Lp); padded lines have zero direction and a
+    far-away origin, so they never intersect."""
+    L = lines.shape[0]
+    l_packed = jnp.zeros((8, Lp), jnp.float32)
+    l_packed = l_packed.at[5, :].set(1e9)
+    l_packed = l_packed.at[0:6, :L].set(lines.T)
+    return l_packed
+
+
+def _specs_and_shapes(n_cloud, tl, tf, Lp, emit_d2, emit_recon, emit_pts):
+    """(in_specs, out_specs, out_shapes, scratch) for a grid whose last two
+    axes are (line_tiles, face_tiles); ``n_cloud`` adds a leading (slowest)
+    cloud grid axis (0 = none, i.e. the single-cloud call). The paired
+    variant keeps every array 2-D by stacking clouds along the row
+    (sublane) axis — the face tensor becomes (n_cloud*16, Fp) with block
+    row-index c, and each output becomes (n_cloud*rows, Lp) likewise — so
+    the kernel body is identical for both entry points."""
+    if n_cloud:
+        n_lt = Lp // tl
+        line_spec = pl.BlockSpec((8, tl), lambda c, i, j: (0, i),
+                                 memory_space=pltpu.VMEM)
+        face_spec = pl.BlockSpec((16, tf), lambda c, i, j: (c, j),
+                                 memory_space=pltpu.VMEM)
+
+        # outputs stack the clouds along the LINE (lane) axis — row-axis
+        # stacking would need per-cloud row blocks smaller than 8 sublanes,
+        # which the TPU lowering rejects
+        def out_spec(rows):
+            return pl.BlockSpec((rows, tl),
+                                lambda c, i, j, n_lt=n_lt: (0, c * n_lt + i),
+                                memory_space=pltpu.VMEM)
+
+        def out_shape(rows, dtype):
+            return jax.ShapeDtypeStruct((rows, n_cloud * Lp), dtype)
+    else:
+        line_spec = pl.BlockSpec((8, tl), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM)
+        face_spec = pl.BlockSpec((16, tf), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)
+
+        def out_spec(rows):
+            return pl.BlockSpec((rows, tl), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def out_shape(rows, dtype):
+            return jax.ShapeDtypeStruct((rows, Lp), dtype)
+
+    out_specs = [out_spec(1), out_spec(KMAX)]
+    out_shapes = [out_shape(1, jnp.int32), out_shape(KMAX, jnp.int32)]
+    scratch = [pltpu.VMEM((1, tl), jnp.int32), pltpu.VMEM((KMAX, tl), jnp.int32)]
+    if emit_d2:
+        out_specs.append(out_spec(KMAX * NNEI))
+        out_shapes.append(out_shape(KMAX * NNEI, jnp.float32))
+        scratch.append(pltpu.VMEM((KMAX * NNEI, tl), jnp.float32))
+    if emit_recon:
+        out_specs.append(out_spec(KMAX * 3))
+        out_shapes.append(out_shape(KMAX * 3, jnp.float32))
+        scratch.append(pltpu.VMEM((KMAX * 3, tl), jnp.float32))
+    if emit_pts:
+        out_specs.append(out_spec(KMAX * 9))
+        out_shapes.append(out_shape(KMAX * 9, jnp.float32))
+        scratch.append(pltpu.VMEM((KMAX * 9, tl), jnp.float32))
+    return [line_spec, face_spec], out_specs, out_shapes, scratch
+
+
+def _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=None, Lp=None):
+    """Kernel outputs -> (count (L,), slot_idx (L, KMAX), slot_d2 or None,
+    slot_recon or None, slot_pts or None), optionally slicing a cloud of
+    the paired call (whose outputs stack the clouds along the line axis)."""
+    outs = list(outs)
+    lo = 0 if cloud is None else cloud * Lp
+
+    count = outs.pop(0)[0, lo:lo + L]
+    slot_idx = outs.pop(0)[:, lo:lo + L].T
+    slot_d2 = None
+    slot_recon = None
+    slot_pts = None
+    if emit_d2:
+        slot_d2 = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, NNEI)
+    if emit_recon:
+        slot_recon = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, 3)
+    if emit_pts:
+        slot_pts = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, NNEI, 3)
+    return count, slot_idx, slot_d2, slot_recon, slot_pts
+
+
+@functools.partial(jax.jit, static_argnames=("tl", "tf", "emit_d2",
+                                             "emit_recon", "emit_pts",
+                                             "interpret"))
+def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048,
+                     tf: int = 256, emit_d2: bool = True,
+                     emit_recon: bool = True, emit_pts: bool = False,
                      interpret: bool = False):
     """Fused stage 1. point_neis (F, 9), lines (L, 6), delta (F,) adaptive
     thresholds. Returns (count (L,) int32, slot_idx (L, 4) int32 with 2**30
     for empty, slot_d2 (L, 4, 3) raw perpendicular d^2 values *without* the
-    +2e-4 which the caller re-adds under sqrt, slot_recon (L, 4, 3) — the
-    raw weighted reconstruction sum_i w_i p_i per slot, emitted in-kernel so
-    consumers skip the slow XLA row-gather of neighbor coordinates)."""
+    +2e-4 which the caller re-adds under sqrt — or None when emit_d2=False,
+    slot_recon (L, 4, 3) — the in-kernel weighted reconstruction
+    sum_i w_i p_i per slot — or None when emit_recon=False,
+    slot_pts (L, 4, 3, 3) — the raw gathered neighbor coordinates per slot
+    (lets consumers build weights + reconstruction outside without the slow
+    XLA row-gather AND without the kernel's dense per-(face, line) weight
+    math) — or None when emit_pts=False)."""
     point_neis = jax.lax.stop_gradient(point_neis)
     lines = jax.lax.stop_gradient(lines)
     F = point_neis.shape[0]
@@ -148,51 +303,60 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048, tf: int = 256,
     Fp = _round_up(F, tf)
     Lp = _round_up(L, tl)
 
-    thr = (delta * (1.731 / 2.0)) ** 2 - 2e-4
-    # packed face tensor: rows 0-8 neighbors, row 9 threshold (-inf on
-    # padded faces, which keeps their labels False with no extra mask)
-    p_packed = jnp.zeros((16, Fp), jnp.float32)
-    p_packed = p_packed.at[0:9, :F].set(point_neis.T)
-    p_packed = p_packed.at[9, :F].set(thr)
-    p_packed = p_packed.at[9, F:].set(-jnp.inf)
-
-    # padded lines: zero direction, far-away origin -> never intersect
-    l_packed = jnp.zeros((8, Lp), jnp.float32)
-    l_packed = l_packed.at[5, :].set(1e9)
-    l_packed = l_packed.at[0:6, :L].set(lines.T)
-
+    in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
+        0, tl, tf, Lp, emit_d2, emit_recon, emit_pts)
     grid = (Lp // tl, Fp // tf)
-    count, slot_idx, slot_d, slot_r = pl.pallas_call(
-        _kernel,
+    outs = pl.pallas_call(
+        functools.partial(_kernel, face_axis=1, emit_d2=emit_d2,
+                          emit_recon=emit_recon, emit_pts=emit_pts),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KMAX, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KMAX * NNEI, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KMAX * 3, tl), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((KMAX, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((KMAX * NNEI, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((KMAX * 3, Lp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, tl), jnp.int32),
-            pltpu.VMEM((KMAX, tl), jnp.int32),
-            pltpu.VMEM((KMAX * NNEI, tl), jnp.float32),
-            pltpu.VMEM((KMAX * 3, tl), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(l_packed, p_packed)
+    )(_pack_lines(lines, Lp), _pack_faces(point_neis, delta, Fp))
+    return _unpack(outs, L, emit_d2, emit_recon, emit_pts)
 
-    return (
-        count[0, :L],
-        slot_idx[:, :L].T,
-        slot_d[:, :L].T.reshape(L, KMAX, NNEI),
-        slot_r[:, :L].T.reshape(L, KMAX, 3),
-    )
+
+@functools.partial(jax.jit, static_argnames=("tl", "tf", "emit_d2",
+                                             "emit_recon", "emit_pts",
+                                             "interpret"))
+def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
+                          tl: int = 2048, tf: int = 256, emit_d2: bool = True,
+                          emit_recon: bool = True, emit_pts: bool = False,
+                          interpret: bool = False):
+    """Stage 1 for BOTH clouds of a registration pair in one pallas_call:
+    grid (2, line_tiles, face_tiles) with the cloud on the slowest axis —
+    one kernel dispatch, and the second cloud's sweep streams through the
+    already-warm pipeline. Clouds of different sizes are padded to a common
+    face count (padded faces carry -inf thresholds and never intersect).
+
+    Returns two (count, slot_idx, slot_d2 | None, slot_recon | None,
+    slot_pts | None) tuples, bitwise identical to two ``intersect_stage1``
+    calls."""
+    point_neis1 = jax.lax.stop_gradient(point_neis1)
+    point_neis2 = jax.lax.stop_gradient(point_neis2)
+    lines = jax.lax.stop_gradient(lines)
+    L = lines.shape[0]
+    Fp = _round_up(max(point_neis1.shape[0], point_neis2.shape[0]), tf)
+    Lp = _round_up(L, tl)
+
+    p = jnp.concatenate([_pack_faces(point_neis1, delta1, Fp),
+                         _pack_faces(point_neis2, delta2, Fp)])  # (32, Fp)
+
+    in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
+        2, tl, tf, Lp, emit_d2, emit_recon, emit_pts)
+    grid = (2, Lp // tl, Fp // tf)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, face_axis=2, emit_d2=emit_d2,
+                          emit_recon=emit_recon, emit_pts=emit_pts),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(_pack_lines(lines, Lp), p)
+    return (_unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=0, Lp=Lp),
+            _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=1, Lp=Lp))

@@ -181,6 +181,67 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
     return params, history
 
 
+def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
+             log=print):
+    """The reference's eval pass with its full artifact set
+    (Train_RPM.py:85-182): per pair — final-iteration transformed source,
+    raw source, target and GT-transformed source ``.obj`` dumps, the
+    predicted 3x4 transform as a raw float ``.bin`` (R stored transposed,
+    exactly like the reference's ``transform1``), and a ``Val.json``
+    summary of the SUMMED loss_gt / loss_chamfer (the reference accumulates
+    sums, not means, Train_RPM.py:158-161). Returns the summary dict."""
+    import os
+
+    import numpy as np
+
+    from a_robust_registration_loss_tpu.utils.logging import dict_to_file
+
+    model = RPMNetEarlyFusion(cfg.model)
+
+    @jax.jit
+    def run_pair(batch):
+        transforms, _ = model.apply(
+            {"params": params},
+            batch["points_src_sample"], batch["normals_src"],
+            batch["points_tar_sample"], batch["normals_tar"],
+            num_iter=cfg.num_eval_reg_iter,
+        )
+        src = batch["points_src_sample"][..., :3]
+        pred_src = se3.rt_transform(transforms[-1], src)
+        g = jnp.concatenate(
+            [jnp.swapaxes(batch["R"], -1, -2), batch["T"][..., None]], axis=-1
+        )
+        gt_src = se3.rt_transform(g, src)
+        loss_gt = jnp.mean(jnp.abs(gt_src - pred_src))
+        loss_chamfer = G.chamfer_distance(batch["points_tar_sample"], pred_src)
+        return transforms[-1], pred_src, gt_src, loss_gt, loss_chamfer
+
+    os.makedirs(out_dir, exist_ok=True)
+    sum_gt, sum_cd = 0.0, 0.0
+    for idx, batch in enumerate(test_loader):
+        tf_last, pred_src, gt_src, loss_gt, loss_cd = run_pair(batch)
+        sum_gt += float(loss_gt)
+        sum_cd += float(loss_cd)
+        harness.dump_registration_objs(
+            out_dir, f"pair{idx}",
+            np.asarray(batch["points_src_sample"][0][..., :3]),
+            np.asarray(pred_src[0]),
+            np.asarray(batch["points_tar_sample"][0]),
+            np.asarray(gt_src[0]),
+        )
+        # 3x4 .bin with R transposed (the reference's transform1,
+        # Train_RPM.py:165-172)
+        t34 = np.asarray(tf_last[0], np.float32).reshape(3, 4)
+        out = np.concatenate([t34[:, :3].T, t34[:, 3:]], axis=1)
+        out.tofile(os.path.join(out_dir, f"pred_src_{idx}.bin"))
+        log(f"eval pair {idx}: loss_gt={float(loss_gt):.6f} "
+            f"loss_chamfer={float(loss_cd):.6f}")
+    summary = {"loss_chamfer": sum_cd, "loss_gt": sum_gt}
+    dict_to_file(os.path.join(out_dir, "Val.json"), summary, file_type="json")
+    log(f"Validate, loss_gt {sum_gt:.4f}, loss_chamfer {sum_cd:.4f}")
+    return summary
+
+
 def main(argv=None):
     from a_robust_registration_loss_tpu.data import dataset as DS
 
@@ -198,6 +259,10 @@ def main(argv=None):
     ap.add_argument("--train_reg_iter", type=int, default=2)
     ap.add_argument("--eval_reg_iter", type=int, default=5)
     ap.add_argument("--pretrain_epochs", type=int, default=0)
+    ap.add_argument("--eval_only", action="store_true",
+                    help="reload the latest checkpoint and run the eval "
+                         "pass with the reference's artifact set "
+                         "(obj dumps + transform .bin + Val.json)")
     ap.add_argument("--estimate_normals", action="store_true",
                     help="PCA-estimate missing normals (bare point clouds)")
     ap.add_argument("--backend", default="auto",
@@ -243,7 +308,23 @@ def main(argv=None):
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )
-    train(cfg, train_loader, test_loader, mesh=mesh)
+    if args.eval_only:
+        import os
+
+        (model, optimizer, _, _, _, _) = make_steps(cfg)
+        batch0 = next(iter(train_loader))
+        params = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
+        from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+        ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
+        state, _ = ckpt.load({"params": params,
+                              "opt_state": optimizer.init(params),
+                              "epoch": 0})
+        if state is not None:
+            params = state["params"]
+        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"))
+    else:
+        train(cfg, train_loader, test_loader, mesh=mesh)
 
 
 if __name__ == "__main__":

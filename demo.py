@@ -127,13 +127,18 @@ if __name__ == "__main__":
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="auto = pallas on TPU, xla elsewhere")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force the jax platform (e.g. cpu) — the axon "
+                             "TPU plugin ignores the JAX_PLATFORMS env var")
     parser.add_argument("--labels", type=str, default=None,
                         help="comma-separated labels for BATCHED multi-pair "
                              "registration (one jitted program)")
     _args = parser.parse_args()
-    if _args.backend == "auto":
-        import jax
+    import jax
 
+    if _args.platform:
+        jax.config.update("jax_platforms", _args.platform)
+    if _args.backend == "auto":
         _args.backend = ("pallas"
                          if jax.devices()[0].platform not in ("cpu",)
                          else "xla")

@@ -335,6 +335,44 @@ class TestSmokeTraining:
         assert csv[0].startswith("h_w1,")
         assert len(csv) == 1 + 2  # header + B rows
 
+    def test_rpm_evaluate_artifacts(self, tmp_path):
+        """RPM's eval artifact set (the reference's Save_eval_results +
+        Val.json, Train_RPM.py:85-182): obj dumps, the transposed-R 3x4
+        transform .bin, and the summed-loss summary json."""
+        import json
+
+        from a_robust_registration_loss_tpu.models.rpmnet import RPMNetConfig
+        from a_robust_registration_loss_tpu.train import rpmnet as TR
+
+        cfg = TR.RPMTrainConfig(
+            num_train_reg_iter=1, num_eval_reg_iter=2,
+            loss=L.LossConfig(n_lines=128, line_chunk=None),
+            model=RPMNetConfig(feat_dim=16, num_neighbors=8, num_sk_iter=3,
+                               radius=0.5),
+            fit=harness.FitConfig(epochs=1, exp_dir=str(tmp_path / "rpm"),
+                                  save_every=0, log_tensorboard=False,
+                                  resume=False),
+        )
+        (model, _, _, _, _, _) = TR.make_steps(cfg)
+        batch = make_batch()
+        params = TR.init_params(model, jax.random.PRNGKey(0), batch)
+        out = str(tmp_path / "eval")
+        summary = TR.evaluate(cfg, params, [batch, batch], out,
+                              log=lambda *a: None)
+        assert np.isfinite(summary["loss_gt"])
+        assert np.isfinite(summary["loss_chamfer"])
+        for idx in (0, 1):
+            for suffix in ("src", "pred_src", "tar", "gt_src"):
+                assert (tmp_path / "eval" / f"pair{idx}_{suffix}.obj").exists()
+            t = np.fromfile(tmp_path / "eval" / f"pred_src_{idx}.bin",
+                            np.float32).reshape(3, 4)
+            # R stored transposed: R R^T = I (the .bin's rotation block is
+            # orthonormal either way; check determinant +1 and finiteness)
+            R = t[:, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        val = json.loads((tmp_path / "eval" / "Val.json").read_text())
+        assert set(val) == {"loss_chamfer", "loss_gt"}
+
 
 class TestCheckpointManager:
     def _state(self, x):
