@@ -112,13 +112,27 @@ def read_ply(path: str):
     return v, fc
 
 
-def write_ply(path: str, vertices, faces=None, binary: bool = False):
-    """Write vertices (N, 3) (+ optional triangle faces) as PLY."""
+def write_ply(path: str, vertices, faces=None, binary: bool = False,
+              colors=None):
+    """Write vertices (N, 3) (+ optional triangle faces) as PLY.
+
+    ``colors``: optional (3,) uniform or (N, 3) per-vertex colors, floats in
+    [0, 1] or uint8 — the paint_uniform_color role of the reference's open3d
+    eval visualization (fmr/evaluate_fmr.py:34-43)."""
     v = np.asarray(vertices, np.float32).reshape(-1, 3)
     fc = None if faces is None else np.asarray(faces, np.int32).reshape(-1, 3)
+    col = None
+    if colors is not None:
+        col = np.asarray(colors)
+        if col.dtype != np.uint8:
+            col = (np.clip(col, 0.0, 1.0) * 255).astype(np.uint8)
+        col = np.broadcast_to(col.reshape(-1, 3), (len(v), 3))
     fmt = "binary_little_endian" if binary else "ascii"
     header = ["ply", f"format {fmt} 1.0", f"element vertex {len(v)}",
               "property float x", "property float y", "property float z"]
+    if col is not None:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
     if fc is not None:
         header += [f"element face {len(fc)}",
                    "property list uchar int vertex_indices"]
@@ -126,13 +140,25 @@ def write_ply(path: str, vertices, faces=None, binary: bool = False):
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
-            f.write(v.astype("<f4").tobytes())
+            if col is None:
+                f.write(v.astype("<f4").tobytes())
+            else:
+                dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                               ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+                rec = np.empty(len(v), dt)
+                rec["x"], rec["y"], rec["z"] = v[:, 0], v[:, 1], v[:, 2]
+                rec["red"], rec["green"], rec["blue"] = (col[:, 0], col[:, 1],
+                                                         col[:, 2])
+                f.write(rec.tobytes())
             if fc is not None:
                 for face in fc:
                     f.write(struct.pack("<B3i", 3, *face))
         else:
-            for p in v:
-                f.write(f"{p[0]:.8g} {p[1]:.8g} {p[2]:.8g}\n".encode())
+            for i, p in enumerate(v):
+                row = f"{p[0]:.8g} {p[1]:.8g} {p[2]:.8g}"
+                if col is not None:
+                    row += f" {col[i, 0]} {col[i, 1]} {col[i, 2]}"
+                f.write((row + "\n").encode())
             if fc is not None:
                 for face in fc:
                     f.write(f"3 {face[0]} {face[1]} {face[2]}\n".encode())

@@ -190,6 +190,15 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
                     np.asarray(pred[0]),
                     np.asarray(batch["points_tar_sample"][0]),
                     np.asarray(gt[0]))
+                # the reference's colored-ply + viewer artifact set
+                # (evaluate_fmr.py:34-43), headless
+                from a_robust_registration_loss_tpu.utils import viz
+
+                viz.draw_registration_result(
+                    np.asarray(src[0]),
+                    np.asarray(batch["points_tar_sample"][0]),
+                    np.asarray(g[0]),
+                    os.path.join(out_dir, f"pair{i}_viz"))
             log(f"test, {i}/{len(test_loader)}, dm={float(dm):.6f}")
     mean_dm = float(np.mean(dms)) if dms else float("nan")
     with open(os.path.join(out_dir, "eval_summary.json"), "w") as f:

@@ -254,6 +254,16 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_lines", type=int, default=10000)
     ap.add_argument("--wt_inliers", type=float, default=1e-2)
+    ap.add_argument("--radius", type=float, default=0.3,
+                    help="feature neighborhood radius (rpm/arguments.py:80)")
+    ap.add_argument("--num_neighbors", type=int, default=64)
+    ap.add_argument("--feat_dim", type=int, default=96)
+    ap.add_argument("--num_sk_iter", type=int, default=5,
+                    help="sinkhorn normalization iterations")
+    ap.add_argument("--features", default="ppf,dxyz,xyz",
+                    help="comma-separated feature set (rpm/arguments.py:90)")
+    ap.add_argument("--no_slack", action="store_true",
+                    help="disable the sinkhorn slack row/column")
     ap.add_argument("--max_lr", type=float, default=2e-5,
                     help="the OneCycle plateau lr (Train_RPM.py:385)")
     ap.add_argument("--train_reg_iter", type=int, default=2)
@@ -305,6 +315,11 @@ def main(argv=None):
         pretrain_epochs=args.pretrain_epochs,
         loss=L.LossConfig(n_lines=args.n_lines, wt_inliers=args.wt_inliers,
                           backend=args.backend),
+        model=RPMNetConfig(
+            features=tuple(args.features.split(",")),
+            feat_dim=args.feat_dim, radius=args.radius,
+            num_neighbors=args.num_neighbors, num_sk_iter=args.num_sk_iter,
+            add_slack=not args.no_slack),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )

@@ -302,3 +302,43 @@ class TestCompanionPaths:
         np.testing.assert_allclose(out["T"], 0.0, atol=1e-5)
         pred = out["points_src_sample"] @ out["R"] + out["T"]
         np.testing.assert_allclose(pred, out["points_tar_sample"], atol=1e-5)
+
+
+class TestVizAndColoredPly:
+    def test_colored_ply_roundtrip(self, tmp_path):
+        """write_ply with colors stays readable by read_ply (colors are
+        extra vertex properties, discarded on read) in both formats."""
+        from a_robust_registration_loss_tpu.data import plyio
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((50, 3)).astype(np.float32)
+        for binary in (False, True):
+            p = str(tmp_path / f"c_{binary}.ply")
+            plyio.write_ply(p, v, colors=(1.0, 0.706, 0.0), binary=binary)
+            v2, f2 = plyio.read_ply(p)
+            np.testing.assert_allclose(v2, v, atol=1e-6)
+            assert len(f2) == 0
+        # per-vertex colors too
+        p = str(tmp_path / "pv.ply")
+        plyio.write_ply(p, v, colors=rng.random((50, 3)), binary=True)
+        v2, _ = plyio.read_ply(p)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+
+    def test_draw_registration_result(self, tmp_path):
+        """The headless eval visualization (reference:
+        fmr/evaluate_fmr.py:34-43): three colored plys + a PNG overlay."""
+        import os
+
+        from a_robust_registration_loss_tpu.data import plyio
+        from a_robust_registration_loss_tpu.utils import viz
+
+        rng = np.random.default_rng(1)
+        src = rng.standard_normal((40, 3)).astype(np.float32)
+        tar = rng.standard_normal((45, 3)).astype(np.float32)
+        g = np.eye(4, dtype=np.float32)
+        g[:3, 3] = [0.1, -0.2, 0.3]
+        out = viz.draw_registration_result(src, tar, g, str(tmp_path / "v"))
+        for k in ("source_pre", "source", "target", "png"):
+            assert os.path.exists(out[k]), k
+        moved, _ = plyio.read_ply(out["source"])
+        np.testing.assert_allclose(moved, src + g[:3, 3], atol=1e-6)
