@@ -18,7 +18,11 @@ PyTorch codebase (Dengzhi-USTC/A-robust-registration-loss):
                  FMR dm twist error and eval CSV.
 - ``parallel``:  device-mesh / sharding helpers (batch-DP and line-axis sharding
                  over ICI via shard_map/pjit).
-- ``utils``:     CheckPointManager, metrics writer, run logs, step timing.
+- ``utils``:     CheckPointManager, metrics writer, run logs, step timing,
+                 headless registration visualization (``utils.viz``).
+
+``MIGRATION.md`` at the repo root maps every reference entry point / API /
+flag / artifact to its equivalent here.
 """
 
 __version__ = "0.1.0"

@@ -15,12 +15,15 @@ hit ranking is an inclusive prefix sum over the face (sublane) axis done as
 ONE MXU matmul with a lower-triangular mask (binary inputs, so fp32-exact)
 — no scalar loops, no per-lane strided writes, no log-step shuffles.
 
-Two output modes trim the per-slot masked reductions (the second-largest
-cost after the dense distance math) to what the consumer actually reads:
+Three output modes trim the work to what the consumer actually reads:
 ``emit_d2`` (raw per-neighbor distances — the generic gather path derives
-its weights from them) and ``emit_recon`` (the in-kernel weighted slot
-reconstruction — the rigid fast path consumes it directly and never touches
-d2). Each flag owns 12 of the ~32 per-tile reductions.
+its weights from them; 12 per-slot reductions), ``emit_recon`` (the
+in-kernel weighted slot reconstruction — the rigid fast path consumes it
+directly; 12 reductions PLUS the dense per-(face, line) weight math, the
+single largest optional cost) and ``emit_pts`` (the raw gathered neighbor
+coordinates per slot — 36 reductions, no dense math; measured slower than
+emit_recon for the rigid path, kept for consumers that need the raw
+coords).
 
 ``intersect_stage1_pair`` runs BOTH clouds of a registration pair in one
 ``pallas_call`` (leading cloud grid axis): one dispatch instead of two, and
@@ -64,7 +67,8 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
                of the rows are layout padding)
     outputs (per line tile): count (1, TL), slot_idx (KMAX, TL),
                [slot_d (KMAX*NNEI, TL) if emit_d2],
-               [slot_r (KMAX*3, TL) if emit_recon]
+               [slot_r (KMAX*3, TL) if emit_recon],
+               [slot_p (KMAX*9, TL) if emit_pts]
     """
     refs = list(refs)
     count_ref, slot_idx_ref = refs.pop(0), refs.pop(0)

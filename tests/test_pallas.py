@@ -4,8 +4,8 @@ SURVEY.md §7 step 5 demands the fused stage-1 kernel
 (ops/pallas/intersect.py) be "equivalence-tested vs the jnp reference at
 fp32 tolerance". These tests cover the cases where such kernels break
 silently: F / L not multiples of the tile sizes, per-line hit counts
-exceeding kmax, and hits straddling face-tile boundaries (the cross-tile
-rank carry at intersect.py:89).
+exceeding kmax, and hits straddling face-tile boundaries (the
+cross-tile rank carry in _kernel).
 """
 
 import numpy as np
