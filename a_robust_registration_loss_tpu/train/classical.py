@@ -202,13 +202,37 @@ def run(src_vertices, tar_vertices, cfg: ClassicalConfig = ClassicalConfig(),
 
 def final_transform(params):
     """(R, t) of the optimized twist, plus the 3x4 matrix the reference dumps
-    (test_demo...py:88-96)."""
-    R, t = se3.exp3(np.asarray(params).reshape(6))
-    R, t = np.asarray(R), np.asarray(t)
+    (test_demo...py:88-96).
+
+    Pure numpy on purpose: the demo calls this from its periodic host
+    callback, and eager jnp ops there dispatch ~30 tiny device programs per
+    call — over a tunneled TPU that costs ~1.5 s per callback and silently
+    capped the demo at ~50 it/s. Same math as se3.exp3 (Rodrigues + V, sinc
+    Taylor branches), fp64, tested against it."""
+    x = np.asarray(params, np.float64).reshape(6)
+    w, v = x[:3], x[3:]
+    t = float(np.linalg.norm(w))
+    W = np.array([[0.0, -w[2], w[1]],
+                  [w[2], 0.0, -w[0]],
+                  [-w[1], w[0], 0.0]])
+    S = W @ W
+    if t < 0.01:  # the sinc Taylor cutoff (se3/sinc.py)
+        t2 = t * t
+        s1 = 1 - t2 / 6 * (1 - t2 / 20 * (1 - t2 / 42))
+        s2 = 0.5 * (1 - t2 / 12 * (1 - t2 / 30 * (1 - t2 / 56)))
+        s3 = (1 / 6) * (1 - t2 / 20 * (1 - t2 / 42 * (1 - t2 / 72)))
+    else:
+        s1 = np.sin(t) / t
+        s2 = (1 - np.cos(t)) / (t * t)
+        s3 = (t - np.sin(t)) / (t * t * t)
+    I = np.eye(3)
+    R = I + s1 * W + s2 * S
+    V = I + s2 * W + s3 * S
+    p = V @ v
     out = np.ones((3, 4), np.float64)
     out[:3, :3] = R
-    out[:3, 3] = t
-    return R, t, out
+    out[:3, 3] = p
+    return R.astype(np.float32), p.astype(np.float32), out
 
 
 # ---------------------------------------------------------------------------

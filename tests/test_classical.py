@@ -122,3 +122,20 @@ class TestBatchedRegistration:
         end = hist["chamfer"][-1]
         assert (end < start * 0.5).all(), (start, end)
         assert np.isfinite(hist["loss"]).all()
+
+
+class TestFinalTransformNumpy:
+    def test_matches_se3_exp3(self):
+        """final_transform's host-side numpy Rodrigues must equal se3.exp3
+        (it exists so the demo callback makes zero device dispatches)."""
+        from a_robust_registration_loss_tpu.se3 import se3
+        from a_robust_registration_loss_tpu.train import classical
+
+        rng = np.random.default_rng(0)
+        for scale in (1e-4, 1e-2, 0.5, 2.0):   # both sinc Taylor branches
+            tw = (rng.standard_normal(6) * scale).astype(np.float32)
+            R_np, t_np, out = classical.final_transform(tw)
+            R_j, t_j = se3.exp3(jnp.asarray(tw))
+            np.testing.assert_allclose(R_np, np.asarray(R_j), atol=2e-6)
+            np.testing.assert_allclose(t_np, np.asarray(t_j), atol=2e-6)
+            np.testing.assert_allclose(out[:, :3], R_np, atol=1e-7)
