@@ -88,11 +88,24 @@ class Trainer:
         )
 
     def _put(self, batch):
+        # one explicit device_put per batch: letting jit transfer the numpy
+        # arrays implicitly costs ~2x (measured 29.5 vs 14.6 + 5 ms per small
+        # batch over a tunneled chip — per-array transfers serialize)
         if self.mesh is None:
-            return batch
+            return jax.device_put(batch)
         from a_robust_registration_loss_tpu.parallel import mesh as pmesh
 
         return pmesh.shard_batch(batch, self.mesh)
+
+    @staticmethod
+    def _epoch_keys(ekey, loader):
+        """Per-batch keys for one epoch in ONE device dispatch (a fold_in
+        per batch costs ~5 ms each over a tunneled chip). Returns a host
+        numpy array; rows act as uint32 PRNG keys."""
+        n = len(loader) if hasattr(loader, "__len__") else None
+        if not n:
+            return None
+        return np.asarray(jax.random.split(ekey, n))
 
     def restore(self, params, opt_state):
         """Reload-latest when resume is on. Returns (params, opt_state,
@@ -110,8 +123,9 @@ class Trainer:
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
         params, opt_state, start = self.restore(params, opt_state)
-        # keys are derived per (epoch, batch) via fold_in so a kill-and-resume
-        # run reproduces the exact losses of an uninterrupted one
+        # keys are derived per epoch via fold_in and split per batch, so a
+        # kill-and-resume run reproduces the exact losses of an
+        # uninterrupted one
         root_key = jax.random.PRNGKey(cfg.seed)
         step_idx = 0
         history = []
@@ -119,15 +133,22 @@ class Trainer:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             ekey = jax.random.fold_in(root_key, epoch)
+            batch_keys = self._epoch_keys(ekey, train_loader)
             t0 = time.perf_counter()
             agg, n_batches = {}, 0
             for bi, batch in enumerate(train_loader):
-                sub = jax.random.fold_in(ekey, bi)
+                sub = (batch_keys[bi] if batch_keys is not None
+                       and bi < len(batch_keys)
+                       else jax.random.fold_in(ekey, bi))
                 params, opt_state, metrics = self.train_step(
                     params, opt_state, self._put(batch), sub
                 )
                 step_idx += 1
                 n_batches += 1
+                # ONE host transfer for the whole metrics dict — per-scalar
+                # float() would block once per metric per batch, which over a
+                # tunneled device dominates small-step training loops
+                metrics = jax.device_get(metrics)
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
             train_metrics = {k: v / max(n_batches, 1) for k, v in agg.items()}
@@ -136,9 +157,14 @@ class Trainer:
             eval_metrics = {}
             if self.eval_step is not None and test_loader is not None:
                 eagg, m = {}, 0
+                eval_keys = self._epoch_keys(
+                    jax.random.fold_in(ekey, 1_000_000), test_loader)
                 for bi, batch in enumerate(test_loader):
-                    sub = jax.random.fold_in(ekey, 1_000_000 + bi)
-                    metrics = self.eval_step(params, self._put(batch), sub)
+                    sub = (eval_keys[bi] if eval_keys is not None
+                           and bi < len(eval_keys)
+                           else jax.random.fold_in(ekey, 1_000_000 + bi))
+                    metrics = jax.device_get(
+                        self.eval_step(params, self._put(batch), sub))
                     m += 1
                     for k, v in metrics.items():
                         eagg[k] = eagg.get(k, 0.0) + float(v)
