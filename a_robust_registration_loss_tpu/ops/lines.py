@@ -11,8 +11,8 @@ The resampler keeps only lines whose coarse 12-triangle AABB meshes of BOTH
 clouds are hit (reference: loss.py:415-432), over a fixed budget of 10
 rounds. The reference fills a Python-dict-countered buffer with host-synced
 ``.nonzero()`` selections (loss.py:365-381); here it is a fully-on-device
-masked scatter fill (cumsum ranks + dropped out-of-range writes) inside a
-``fori_loop`` — jit-compatible, zero host syncs, identical distribution
+masked fill (cumsum acceptance ranks + one stable multi-operand sort) —
+jit-compatible, zero host syncs, identical distribution
 (first-accepted-first-stored, zero-filled tail when the budget runs out; the
 zero lines intersect nothing downstream, exactly as in the reference).
 
@@ -132,7 +132,7 @@ def resample_lines(key, r, center, n: int, vertices1, vertices2,
 
     Implementation: the reference's sequential rounds with a host-synced
     counter are equivalent to drawing one flat candidate stream and keeping
-    the first n accepted — one sample + one cumsum + one scatter. A fast
+    the first n accepted — one sample + one cumsum + one sorted fill. A fast
     path draws only ``fast_rounds * n`` candidates (acceptance is typically
     40-70%, so this almost always suffices) and a ``lax.cond`` falls back to
     the full ``rounds * n`` stream (fresh fold of the key) on a shortfall —
