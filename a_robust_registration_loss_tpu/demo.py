@@ -103,6 +103,18 @@ def main(args):
     params, hist = classical.run(v1, v2, cfg, callback=callback)
     objio.write_obj(os.path.join(args.Save_path, "target.obj"),
                     np.asarray(v2) - v2.mean(0, keepdims=True))
+    # final colored-ply + PNG overlay of the registration (headless
+    # equivalent of the reference's open3d eval viewer)
+    from a_robust_registration_loss_tpu.utils import viz
+
+    _, _, t34 = classical.final_transform(params)
+    g = np.eye(4)
+    # final_transform is row-convention (p @ R + t); draw_... applies column
+    g[:3, :3] = t34[:, :3].T
+    g[:3, 3] = t34[:, 3]
+    viz.draw_registration_result(
+        np.asarray(v1) - v1.mean(0, keepdims=True),
+        np.asarray(v2) - v2.mean(0, keepdims=True), g, args.Save_path)
     elapsed = time.perf_counter() - (state["t_start"] or t0)
     steady_epochs = state["epochs_done"] - state.get("epochs_at_start", 0)
     if steady_epochs > 0:

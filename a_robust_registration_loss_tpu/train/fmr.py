@@ -240,7 +240,11 @@ def main(argv=None):
                          "plugin ignores the JAX_PLATFORMS env var")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel device count (0 = single device); "
-                         "creates a (dp, 1) mesh and shards batches over it")
+                         "creates a (dp, sp) mesh and shards batches over it")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="line-parallel device count: shards the metric's "
+                         "line axis over the mesh's sp axis (lines are "
+                         "i.i.d.; see parallel/mesh.py)")
     ap.add_argument("--debug_nans", action="store_true",
                     help="raise on NaN in any jitted op (the reference's "
                          "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
@@ -254,11 +258,12 @@ def main(argv=None):
         args.backend = ("pallas" if jax.devices()[0].platform not in ("cpu",)
                         else "xla")
     mesh = None
-    if args.dp:
+    if args.dp or args.sp > 1:
         from a_robust_registration_loss_tpu.parallel import mesh as pmesh
 
-        mesh = pmesh.make_mesh(dp=args.dp, sp=1,
-                               devices=jax.devices()[: args.dp])
+        dp = args.dp or 1
+        mesh = pmesh.make_mesh(dp=dp, sp=args.sp,
+                               devices=jax.devices()[: dp * args.sp])
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
@@ -268,7 +273,8 @@ def main(argv=None):
     cfg = FMRTrainConfig(
         lr=args.lr,
         train_maxiter=args.train_maxiter, eval_maxiter=args.eval_maxiter,
-        loss=L.LossConfig(n_lines=args.n_lines, backend=args.backend),
+        loss=L.LossConfig(n_lines=args.n_lines, backend=args.backend,
+                          mesh=mesh),
         model=FMRConfig(dim_k=args.dim_k, num_points=n_pts),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),

@@ -54,24 +54,50 @@ class LossConfig:
     wt_inliers: float = 1e-2      # rpm/arguments.py (RPM only)
     cycle: bool = False           # DCP optional cycle consistency
     discount: float = 0.5
+    # optional (dp, sp) jax.sharding.Mesh: when set, the per-batch line
+    # buffers are constrained to P("dp", "sp") so GSPMD shards the heavy
+    # stage-1 sweep over the line axis too (lines are i.i.d.; only stage 2's
+    # exact median needs the re-replicated slot records — see
+    # parallel/mesh.py). None = no constraint (single device or pure dp).
+    mesh: Optional[object] = None
 
 
 def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,
-                radius_scale: float):
+                radius_scale: float, mesh=None):
     """Per-batch line resampling: radius_scale * ||tar_box[0] - tar_box[-1]||
     per sample, vmapped over the batch (the reference's batched
     Random_uniform_distribution_lines_batch_efficient_resample call sites).
     verts1 is the *predicted-transformed* source (stop-gradient'd: line
-    sampling is non-differentiable in the reference too)."""
+    sampling is non-differentiable in the reference too).
+
+    With a (dp, sp) ``mesh`` the returned (B, L, 6) buffer is constrained to
+    P("dp", "sp") — batch over dp, lines over sp."""
     B = tar_box.shape[0]
     radius = radius_scale * jnp.linalg.norm(tar_box[:, 0] - tar_box[:, -1],
                                             axis=-1)
     keys = jax.random.split(key, B)
     v1 = jax.lax.stop_gradient(verts1)
     v2 = jax.lax.stop_gradient(verts2)
-    return jax.vmap(
+    lines = jax.vmap(
         lambda k, r, c, a, b: LN.resample_lines(k, r, c, n_lines, a, b)
     )(keys, radius, centers, v1, v2)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        # NOTE (distribution-level semantics, like the torch-RNG stance in
+        # ops/lines.py): constraining the lines repartitions the producer
+        # chain, and the zero-margin barycentric accept test can flip a
+        # borderline candidate under the different FMA/fusion pattern — so a
+        # mesh-constrained loss may differ from the unconstrained one by a
+        # measure-zero resampling difference (~0.1-2% depending on line
+        # count; tested in test_parallel.py). Sharded-vs-sharded is stable:
+        # (dp, sp) equals (dp, 1) to fp tolerance, and the metric itself is
+        # sharding-exact given identical lines. Anchoring/optimization
+        # barriers do not prevent the repartitioning (tried).
+        lines = pmesh.constrain(lines, mesh, P("dp", "sp"))
+    return lines
 
 
 def _metric_batch(src_neis_t, tar_neis, lines, cfg: LossConfig):
@@ -129,7 +155,7 @@ def dcp_cal_loss(data, R_ab, t_ab, key, cfg: LossConfig = LossConfig()):
     tar_neis = _flat_neis(data["points_based_neighs_tar"])
 
     lines = batch_lines(key, data["tar_box"], data["centers"], cfg.n_lines,
-                        pred_src, tar, radius_scale=0.5)
+                        pred_src, tar, radius_scale=0.5, mesh=cfg.mesh)
     # column-convention (R p + t) == row form p @ R^T + t
     per_sample = _metric_batch_rt(jnp.swapaxes(R_ab, -1, -2), t_ab,
                                   src_neis_raw, tar_neis, lines, cfg) / 5.0
@@ -216,7 +242,8 @@ def rpm_cal_loss(pred_transforms: Sequence[jax.Array],
         if lines is None:
             # full diagonal radius — no 0.5 (Train_RPM.py:203-205)
             lines = batch_lines(key, data["tar_box"], data["centers"],
-                                cfg.n_lines, pred_src, tar, radius_scale=1.0)
+                                cfg.n_lines, pred_src, tar, radius_scale=1.0,
+                                mesh=cfg.mesh)
         inter = jnp.sum(_metric_batch_rt(
             jnp.swapaxes(g[..., :3, :3], -1, -2), g[..., :3, 3],
             src_neis_raw, tar_neis, lines, cfg))
@@ -282,7 +309,7 @@ def fmr_train_loss(g_series, loss_ende, data, key,
     g_last = jax.lax.stop_gradient(g_series[maxiter - 1])
     pred_src_last = se3.transform(g_last[:, None], src)
     lines = batch_lines(key, data["tar_box"], data["centers"], cfg.n_lines,
-                        pred_src_last, tar, radius_scale=0.5)
+                        pred_src_last, tar, radius_scale=0.5, mesh=cfg.mesh)
 
     loss_inter = 0.0
     pred_src = pred_src_last

@@ -183,3 +183,96 @@ class TestShardedPallasBackend:
         np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss),
                                    rtol=3e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+
+
+class TestShardedHarnessLoss:
+    """LossConfig.mesh threads a (dp, sp) constraint into the harness loss
+    compositions (train/losses.py:batch_lines): identical values to the
+    unsharded path, batch over dp and lines over sp."""
+
+    def _batch(self, b=4, n=48):
+        n1, n2, _ = _problem(b=b, n_pts=n, n_neis=24, n_lines=64)
+        rng = np.random.default_rng(3)
+        tar = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+        src = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+        return {
+            "points_src_sample": src,
+            "points_tar_sample": tar,
+            "points_based_neighs_src": n1.reshape(b, -1, 3),
+            "points_based_neighs_tar": n2.reshape(b, -1, 3),
+            "tar_box": jnp.concatenate(
+                [tar.min(1, keepdims=True), tar.max(1, keepdims=True),
+                 jnp.zeros((b, 6, 3))], axis=1),
+            "centers": jnp.zeros((b, 3)),
+            "R": jnp.broadcast_to(jnp.eye(3), (b, 3, 3)).astype(jnp.float32),
+            "T": jnp.zeros((b, 3)),
+        }
+
+    def _loss_under(self, mesh, n_lines=512):
+        from a_robust_registration_loss_tpu.train import losses as L
+
+        batch = self._batch()
+        b = batch["R"].shape[0]
+        R_ab = jnp.broadcast_to(jnp.eye(3), (b, 3, 3)).astype(jnp.float32)
+        t_ab = jnp.full((b, 3), 0.01, jnp.float32)
+        key = jax.random.PRNGKey(5)
+        cfg = L.LossConfig(n_lines=n_lines, line_chunk=None, mesh=mesh)
+        if mesh is None:
+            return jax.jit(
+                lambda: L.dcp_cal_loss(batch, R_ab, t_ab, key, cfg))()
+        sbatch = pmesh.shard_batch(batch, mesh)
+        with mesh:
+            return jax.jit(
+                lambda: L.dcp_cal_loss(sbatch, R_ab, t_ab, key, cfg))()
+
+    def test_sp_matches_dp_only(self, mesh8):
+        """(dp=4, sp=2) equals (dp=8, sp=1) to fp tolerance: the line-axis
+        sharding itself changes nothing; only constraining at all can flip
+        borderline resampler accepts vs the unconstrained program (the
+        documented distribution-level caveat, train/losses.py:batch_lines)."""
+        loss_dp, mon_dp = self._loss_under(pmesh.make_mesh(dp=8, sp=1))
+        loss_sp, mon_sp = self._loss_under(mesh8)
+        np.testing.assert_allclose(float(loss_sp), float(loss_dp), rtol=1e-4)
+        for k in mon_dp:
+            np.testing.assert_allclose(float(mon_sp[k]), float(mon_dp[k]),
+                                       rtol=1e-3, atol=1e-6, err_msg=k)
+
+    def test_sharded_loss_near_unsharded(self, mesh8):
+        """Constrained vs unconstrained may differ by borderline resampler
+        accepts — a measure-zero resampling difference, bounded here."""
+        loss0, mon0 = self._loss_under(None)
+        loss1, mon1 = self._loss_under(mesh8)
+        assert np.isfinite(float(loss1))
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=0.1)
+        # monitors that do not depend on the lines at all must be EXACT
+        for k in ("loss_rotation", "loss_translation", "loss_chamfer",
+                  "loss_pp_wise", "loss_gt"):
+            np.testing.assert_allclose(float(mon1[k]), float(mon0[k]),
+                                       rtol=1e-5, err_msg=k)
+
+    def test_sp_gradient_matches_dp_only(self, mesh8):
+        """Gradients w.r.t. the predicted transform: (dp, sp) == (dp, 1)."""
+        from a_robust_registration_loss_tpu.train import losses as L
+
+        batch = self._batch()
+        b = batch["R"].shape[0]
+        key = jax.random.PRNGKey(9)
+
+        def grad_under(mesh):
+            cfg = L.LossConfig(n_lines=512, line_chunk=None, mesh=mesh)
+            sbatch = pmesh.shard_batch(batch, mesh)
+
+            def loss_of(t_ab):
+                R_ab = jnp.broadcast_to(jnp.eye(3),
+                                        (b, 3, 3)).astype(jnp.float32)
+                l, _ = L.dcp_cal_loss(sbatch, R_ab, t_ab, key, cfg)
+                return l
+
+            with mesh:
+                return jax.jit(jax.grad(loss_of))(
+                    jnp.full((b, 3), 0.01, jnp.float32))
+
+        g_dp = grad_under(pmesh.make_mesh(dp=8, sp=1))
+        g_sp = grad_under(mesh8)
+        np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_dp),
+                                   rtol=1e-3, atol=1e-7)
