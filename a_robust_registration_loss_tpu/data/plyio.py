@@ -124,7 +124,11 @@ def write_ply(path: str, vertices, faces=None, binary: bool = False,
     col = None
     if colors is not None:
         col = np.asarray(colors)
-        if col.dtype != np.uint8:
+        if np.issubdtype(col.dtype, np.integer):
+            # any integer dtype means 0-255 channel values (not just uint8)
+            col = np.clip(col, 0, 255).astype(np.uint8)
+        else:
+            # float dtypes mean [0, 1] channel values
             col = (np.clip(col, 0.0, 1.0) * 255).astype(np.uint8)
         col = np.broadcast_to(col.reshape(-1, 3), (len(v), 3))
     fmt = "binary_little_endian" if binary else "ascii"

@@ -101,7 +101,13 @@ class Trainer:
     def _epoch_keys(ekey, loader):
         """Per-batch keys for one epoch in ONE device dispatch (a fold_in
         per batch costs ~5 ms each over a tunneled chip). Returns a host
-        numpy array; rows act as uint32 PRNG keys."""
+        numpy array; rows act as uint32 PRNG keys.
+
+        RNG-stream compatibility: per-batch keys are ``split(ekey, n)[bi]``.
+        Runs checkpointed under the earlier ``fold_in(ekey, bi)`` scheme
+        (pre r1-final) resume on a different stream — losses stay valid but
+        are not bit-identical to an uninterrupted old-scheme run. The
+        kill-and-resume reproducibility guarantee holds within one scheme."""
         n = len(loader) if hasattr(loader, "__len__") else None
         if not n:
             return None

@@ -182,14 +182,17 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
 
 
 def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
-             log=print):
+             log=print, epoch: int = 0):
     """The reference's eval pass with its full artifact set
     (Train_RPM.py:85-182): per pair — final-iteration transformed source,
     raw source, target and GT-transformed source ``.obj`` dumps, the
-    predicted 3x4 transform as a raw float ``.bin`` (R stored transposed,
-    exactly like the reference's ``transform1``), and a ``Val.json``
-    summary of the SUMMED loss_gt / loss_chamfer (the reference accumulates
-    sums, not means, Train_RPM.py:158-161). Returns the summary dict."""
+    predicted 3x4 transform as a raw float ``{epoch}_pred_src_{idx}.bin``
+    (R stored transposed, exactly like the reference's ``transform1`` with
+    its epoch-prefixed name, Train_RPM.py:165-172), and a ``Val.json``
+    summary of the SUMMED per-pair loss_gt / loss_chamfer (the reference
+    accumulates sums, not means, over its batch-1 loader,
+    Train_RPM.py:156-161 — batches of any size are unrolled per sample here
+    so the sums stay per-pair). Returns the summary dict."""
     import os
 
     import numpy as np
@@ -199,7 +202,7 @@ def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
     model = RPMNetEarlyFusion(cfg.model)
 
     @jax.jit
-    def run_pair(batch):
+    def run_batch(batch):
         transforms, _ = model.apply(
             {"params": params},
             batch["points_src_sample"], batch["normals_src"],
@@ -212,30 +215,38 @@ def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
             [jnp.swapaxes(batch["R"], -1, -2), batch["T"][..., None]], axis=-1
         )
         gt_src = se3.rt_transform(g, src)
-        loss_gt = jnp.mean(jnp.abs(gt_src - pred_src))
-        loss_chamfer = G.chamfer_distance(batch["points_tar_sample"], pred_src)
+        # per-sample losses so batch>1 loaders match the reference's
+        # per-pair accumulation
+        loss_gt = jnp.mean(jnp.abs(gt_src - pred_src), axis=(1, 2))
+        loss_chamfer = jax.vmap(
+            lambda t, p: G.chamfer_distance(t[None], p[None])
+        )(batch["points_tar_sample"], pred_src)
         return transforms[-1], pred_src, gt_src, loss_gt, loss_chamfer
 
     os.makedirs(out_dir, exist_ok=True)
     sum_gt, sum_cd = 0.0, 0.0
-    for idx, batch in enumerate(test_loader):
-        tf_last, pred_src, gt_src, loss_gt, loss_cd = run_pair(batch)
-        sum_gt += float(loss_gt)
-        sum_cd += float(loss_cd)
-        harness.dump_registration_objs(
-            out_dir, f"pair{idx}",
-            np.asarray(batch["points_src_sample"][0][..., :3]),
-            np.asarray(pred_src[0]),
-            np.asarray(batch["points_tar_sample"][0]),
-            np.asarray(gt_src[0]),
-        )
-        # 3x4 .bin with R transposed (the reference's transform1,
-        # Train_RPM.py:165-172)
-        t34 = np.asarray(tf_last[0], np.float32).reshape(3, 4)
-        out = np.concatenate([t34[:, :3].T, t34[:, 3:]], axis=1)
-        out.tofile(os.path.join(out_dir, f"pred_src_{idx}.bin"))
-        log(f"eval pair {idx}: loss_gt={float(loss_gt):.6f} "
-            f"loss_chamfer={float(loss_cd):.6f}")
+    idx = 0
+    for batch in test_loader:
+        tf_last, pred_src, gt_src, loss_gt, loss_cd = jax.device_get(
+            run_batch(batch))
+        for b in range(pred_src.shape[0]):
+            sum_gt += float(loss_gt[b])
+            sum_cd += float(loss_cd[b])
+            harness.dump_registration_objs(
+                out_dir, f"pair{idx}",
+                np.asarray(batch["points_src_sample"][b][..., :3]),
+                np.asarray(pred_src[b]),
+                np.asarray(batch["points_tar_sample"][b]),
+                np.asarray(gt_src[b]),
+            )
+            # 3x4 .bin with R transposed (the reference's transform1,
+            # Train_RPM.py:165-172)
+            t34 = np.asarray(tf_last[b], np.float32).reshape(3, 4)
+            out = np.concatenate([t34[:, :3].T, t34[:, 3:]], axis=1)
+            out.tofile(os.path.join(out_dir, f"{epoch}_pred_src_{idx}.bin"))
+            log(f"eval pair {idx}: loss_gt={float(loss_gt[b]):.6f} "
+                f"loss_chamfer={float(loss_cd[b]):.6f}")
+            idx += 1
     summary = {"loss_chamfer": sum_cd, "loss_gt": sum_gt}
     dict_to_file(os.path.join(out_dir, "Val.json"), summary, file_type="json")
     log(f"Validate, loss_gt {sum_gt:.4f}, loss_chamfer {sum_cd:.4f}")
@@ -340,9 +351,12 @@ def main(argv=None):
         state, _ = ckpt.load({"params": params,
                               "opt_state": optimizer.init(params),
                               "epoch": 0})
+        epoch = 0
         if state is not None:
             params = state["params"]
-        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"))
+            epoch = int(state["epoch"])
+        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
+                 epoch=epoch)
     else:
         train(cfg, train_loader, test_loader, mesh=mesh)
 

@@ -35,7 +35,7 @@ def make_batch(B, N, seed=0):
     p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
                   np.cos(phi)], -1).astype(np.float32)
     rng = np.random.default_rng(seed)
-    srcs, tars, ns, nt, normals = [], [], [], [], []
+    srcs, tars, ns, nt, normals_s, normals_t = [], [], [], [], [], []
     for b in range(B):
         s = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
         t = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
@@ -43,14 +43,15 @@ def make_batch(B, N, seed=0):
         tars.append(t)
         ns.append(np.asarray(G.sample_neighs(jnp.asarray(s), N, 3)))
         nt.append(np.asarray(G.sample_neighs(jnp.asarray(t), N, 3)))
-        normals.append(np.asarray(G.estimate_normals(jnp.asarray(s), k=10)))
+        normals_s.append(np.asarray(G.estimate_normals(jnp.asarray(s), k=10)))
+        normals_t.append(np.asarray(G.estimate_normals(jnp.asarray(t), k=10)))
     batch = {
         "points_src_sample": jnp.asarray(np.stack(srcs)),
         "points_tar_sample": jnp.asarray(np.stack(tars)),
         "points_based_neighs_src": jnp.asarray(np.stack(ns)),
         "points_based_neighs_tar": jnp.asarray(np.stack(nt)),
-        "normals_src": jnp.asarray(np.stack(normals)),
-        "normals_tar": jnp.asarray(np.stack(normals)),
+        "normals_src": jnp.asarray(np.stack(normals_s)),
+        "normals_tar": jnp.asarray(np.stack(normals_t)),
         "tar_box": jnp.asarray(np.stack(
             [np.concatenate([t.min(0, keepdims=True),
                              t.max(0, keepdims=True),

@@ -324,6 +324,20 @@ class TestVizAndColoredPly:
         v2, _ = plyio.read_ply(p)
         np.testing.assert_allclose(v2, v, atol=1e-6)
 
+    def test_integer_colors_are_0_255(self, tmp_path):
+        """Any integer-dtype colors mean 0-255 channel values: (128, 0, 0)
+        must be written as byte 128, not clipped to 255 (the float-[0,1]
+        scaling is reserved for float dtypes)."""
+        from a_robust_registration_loss_tpu.data import plyio
+
+        v = np.zeros((2, 3), np.float32)
+        p = str(tmp_path / "ic.ply")
+        plyio.write_ply(p, v, colors=(128, 64, 0), binary=True)
+        raw = open(p, "rb").read()
+        body = raw.split(b"end_header\n", 1)[1]
+        rec = np.frombuffer(body, np.uint8).reshape(2, 15)  # 3*f4 + 3*u1
+        np.testing.assert_array_equal(rec[0, 12:], [128, 64, 0])
+
     def test_draw_registration_result(self, tmp_path):
         """The headless eval visualization (reference:
         fmr/evaluate_fmr.py:34-43): three colored plys + a PNG overlay."""

@@ -358,13 +358,16 @@ class TestSmokeTraining:
         params = TR.init_params(model, jax.random.PRNGKey(0), batch)
         out = str(tmp_path / "eval")
         summary = TR.evaluate(cfg, params, [batch, batch], out,
-                              log=lambda *a: None)
+                              log=lambda *a: None, epoch=7)
         assert np.isfinite(summary["loss_gt"])
         assert np.isfinite(summary["loss_chamfer"])
-        for idx in (0, 1):
+        B = batch["points_src_sample"].shape[0]
+        # batches are unrolled per sample (reference parity: per-pair
+        # accumulation + epoch-prefixed .bin names, Train_RPM.py:156-172)
+        for idx in range(2 * B):
             for suffix in ("src", "pred_src", "tar", "gt_src"):
                 assert (tmp_path / "eval" / f"pair{idx}_{suffix}.obj").exists()
-            t = np.fromfile(tmp_path / "eval" / f"pred_src_{idx}.bin",
+            t = np.fromfile(tmp_path / "eval" / f"7_pred_src_{idx}.bin",
                             np.float32).reshape(3, 4)
             # R stored transposed: R R^T = I (the .bin's rotation block is
             # orthonormal either way; check determinant +1 and finiteness)
