@@ -147,6 +147,27 @@ def random_twist(rng: np.random.Generator, mag: float = 1.0,
     return (x / np.linalg.norm(x) * amp).astype(np.float32)
 
 
+def random_crop(points, rng: np.random.Generator, keep_ratio: float = 0.7,
+                direction=None):
+    """Planar crop to a fixed-size partial view: keep the ``keep_ratio``
+    fraction of points with the largest projection onto a random unit
+    direction (the RPM-Net-style partial-overlap corruption behind the
+    reference CLI's --partial flag, rpm/arguments.py:55-61). Keeping a fixed
+    count (not a half-space test) preserves static shapes for batching.
+
+    Returns (cropped points (K, 3), kept indices (K,), direction (3,))."""
+    pts = np.asarray(points, np.float32)
+    if direction is None:
+        direction = rng.standard_normal(3)
+        direction = direction / np.linalg.norm(direction)
+    direction = np.asarray(direction, np.float64)
+    k = max(1, int(round(pts.shape[0] * keep_ratio)))
+    proj = pts.astype(np.float64) @ direction
+    idx = np.argsort(-proj, kind="stable")[:k]
+    idx = np.sort(idx)  # preserve original point order
+    return pts[idx], idx, direction.astype(np.float32)
+
+
 def random_transform_se3(points, rng: np.random.Generator, mag: float = 1.0,
                          mag_randomly: bool = False):
     """The reference's RandomTransformSE3 (transforms.py:151-193): perturb a

@@ -304,6 +304,85 @@ class TestCompanionPaths:
         np.testing.assert_allclose(pred, out["points_tar_sample"], atol=1e-5)
 
 
+class TestMakeDataset:
+    def _base_cloud(self, n=256, seed=0):
+        i = np.arange(n) + 0.5
+        phi = np.arccos(1 - 2 * i / n)
+        th = np.pi * (1 + 5**0.5) * i
+        return np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                         np.cos(phi)], -1).astype(np.float32)
+
+    def test_build_views_and_load(self, tmp_path):
+        """The builder's artifact set round-trips through the dataset
+        contract: files exist, the GT maps src onto the target surface
+        (small chamfer — the views are different FPS subsets of one
+        surface), and igt is consistent with (R, T)."""
+        import jax.numpy as jnp
+
+        from a_robust_registration_loss_tpu.data import dataset as DS
+        from a_robust_registration_loss_tpu.data import make_dataset as MK
+        from a_robust_registration_loss_tpu.data import objio
+        from a_robust_registration_loss_tpu.ops import geometry as G
+
+        base = tmp_path / "base.obj"
+        objio.write_obj(str(base), self._base_cloud())
+        out = str(tmp_path / "views")
+        n = MK.build([str(base)], out, n_views=2, num_points=128,
+                     rot_mag=30.0, trans_mag=0.3, num_sample=64,
+                     log=lambda *a: None)
+        assert n == 2
+        for m, v in ((0, 0), (0, 1)):
+            for stem in (f"src_sample_{m}_{v}", f"tar_sample_{m}_{v}"):
+                assert (tmp_path / "views" / f"{stem}.obj").exists()
+                assert (tmp_path / "views" / f"{stem}_neigh.bin").exists()
+                nrm = stem.replace("sample", "sample_normals", 1)
+                assert (tmp_path / "views" / f"{nrm}.obj").exists()
+            assert (tmp_path / "views" / f"transform_{m}_{v}.bin").exists()
+
+        train, test = DS.generate_datasets(DS.DatasetConfig(
+            data_path=out, layout="views", n_meshes=1, n_views=2,
+            train_batch=2))
+        # test loader: batch 1, unshuffled — view order is known, so each
+        # pair can be compared against the base cloud in ITS centered frame
+        for view_i, batch in enumerate(iter(test)):
+            pred = np.einsum("bni,bij->bnj", batch["points_src_sample"],
+                             batch["R"]) + batch["T"][:, None]
+            # The GT-transformed source points ARE base-cloud points (the
+            # view transform is exactly inverted by (R, T)): pointwise min
+            # distance to the centered base must vanish (float32 rounding).
+            v_tar, _ = objio.read_obj(
+                os.path.join(out, f"tar_sample_0_{view_i}.obj"))
+            base_centered = self._base_cloud() - v_tar.mean(0)
+            d2 = ((pred[:, :, None, :] - base_centered[None, None]) ** 2).sum(-1)
+            assert float(d2.min(-1).max()) < 1e-6
+        batch = next(iter(train))
+        # igt consistency: igt = [[R, -R T], [0, 1]] (column convention)
+        for b in range(2):
+            np.testing.assert_allclose(batch["igt"][b][:3, :3],
+                                       batch["R"][b], atol=1e-5)
+            np.testing.assert_allclose(
+                batch["igt"][b][:3, 3],
+                -batch["R"][b] @ batch["T"][b], atol=1e-5)
+
+    def test_build_corruptions(self, tmp_path):
+        """jitter / crop corruption modes produce loadable pairs; crop
+        shrinks the source by keep_ratio."""
+        from a_robust_registration_loss_tpu.data import make_dataset as MK
+        from a_robust_registration_loss_tpu.data import objio
+
+        base = tmp_path / "base.obj"
+        objio.write_obj(str(base), self._base_cloud())
+        for noise in ("jitter", "crop"):
+            out = str(tmp_path / noise)
+            MK.build([str(base)], out, n_views=1, num_points=100,
+                     rot_mag=10.0, trans_mag=0.1, noise_type=noise,
+                     keep_ratio=0.5, num_sample=32, log=lambda *a: None)
+            v_src, _ = objio.read_obj(os.path.join(out, "src_sample_0_0.obj"))
+            v_tar, _ = objio.read_obj(os.path.join(out, "tar_sample_0_0.obj"))
+            assert v_tar.shape[0] == 100
+            assert v_src.shape[0] == (50 if noise == "crop" else 100)
+
+
 class TestVizAndColoredPly:
     def test_colored_ply_roundtrip(self, tmp_path):
         """write_ply with colors stays readable by read_ply (colors are
