@@ -23,6 +23,7 @@ import dataclasses
 
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from a_robust_registration_loss_tpu.eval import metrics as EM
@@ -62,19 +63,40 @@ def make_steps(cfg: DCPTrainConfig):
         return params, opt_state, dict(monitors, loss=loss)
 
     def eval_step(params, batch, key):
-        R_ab, t_ab, _, _ = forward(params, batch)
-        pred = L.dcp_transform(batch["points_src_sample"], R_ab, t_ab)
-        gt = L.dcp_transform(batch["points_src_sample"], batch["R"],
-                             batch["T"])
-        mae, rmse = EM.rotation_euler_errors(R_ab, batch["R"], seq="xyz")
-        return dict(
-            loss=EM.pp_wise_mae(pred, gt),   # cal_test_loss pp_wise
-            loss_chamfer=G.chamfer_distance(pred,
-                                            batch["points_tar_sample"]),
-            loss_rot_euler_mae=mae,
-            loss_rot_euler_rmse=rmse,
-            loss_translation=EM.translation_mse(t_ab, batch["T"]),
+        """The reference test_one_epoch's per-batch battery
+        (Train_DCP.py:62-230): loss_gt (+ 0.1 * cycle), pp-wise/chamfer
+        (cal_test_loss, :307-323), mse/mae of the transformed clouds in BOTH
+        directions, euler/translation errors — plus the test-set
+        intersection loss as an extra monitor (the training objective
+        measured on held-out pairs)."""
+        R_ab, t_ab, R_ba, t_ba = forward(params, batch)
+        loss_inter, monitors = L.dcp_cal_loss(batch, R_ab, t_ab, key,
+                                              cfg.loss)
+        src = batch["points_src_sample"]
+        tar = batch["points_tar_sample"]
+        pred = L.dcp_transform(src, R_ab, t_ab)
+        gt = L.dcp_transform(src, batch["R"], batch["T"])
+        pred_ba = L.dcp_transform(tar, R_ba, t_ba)
+        gt_ba = L.dcp_transform(tar, batch["R_inv"], batch["T_inv"])
+        loss_gt = EM.gt_consistency_loss(R_ab, t_ab, batch["R"], batch["T"])
+        loss = loss_gt
+        out = dict(
+            monitors,
+            loss_intersection=loss_inter,
+            loss_pp_wise=EM.pp_wise_mae(pred, gt),   # cal_test_loss pp_wise
+            mse_ab=jnp.mean((pred - gt) ** 2),
+            mae_ab=jnp.mean(jnp.abs(pred - gt)),
+            mse_ba=jnp.mean((pred_ba - gt_ba) ** 2),
+            mae_ba=jnp.mean(jnp.abs(pred_ba - gt_ba)),
         )
+        if cfg.loss.cycle:
+            cyc = L.dcp_cycle_loss(R_ab, t_ab, R_ba, t_ba)
+            loss = loss + 0.1 * cyc
+            out["cycle_loss"] = cyc
+        # test_one_epoch's total_loss is loss_gt (+ 0.1 cycle),
+        # Train_DCP.py:121-141
+        out["loss"] = loss
+        return out
 
     def artifact_fn(params, batch, key):
         R_ab, t_ab, _, _ = forward(params, batch)
@@ -110,6 +132,103 @@ def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
     return params, history
 
 
+def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
+             log=print, epoch: int = 0, save_objs: bool = True):
+    """The reference's full test_one_epoch artifact pass
+    (Train_DCP.py:62-230 + the train-loop euler aggregation :567-680):
+    per-batch battery (loss_gt/cycle/pp-wise/chamfer/intersection,
+    mse/mae of transformed clouds both directions), EXACT whole-set Euler +
+    translation error aggregation over the concatenated predictions (the
+    reference concatenates all rotations then means, :215-228 + npmat2euler),
+    per-pair obj dumps in the reference's ``{epoch}_{i}*.obj`` naming
+    (:176-214), and an ``Eval.json`` summary. Returns the summary dict."""
+    import json
+    import os
+
+    import numpy as np
+
+    model, _, _, eval_step, _ = make_steps(cfg)
+    step = jax.jit(eval_step)
+
+    def forward(params, batch):
+        return model.apply({"params": params}, batch["points_src_sample"],
+                           batch["points_tar_sample"])
+
+    fwd = jax.jit(forward)
+    os.makedirs(out_dir, exist_ok=True)
+    agg, n_batches = {}, 0
+    R_ab_l, t_ab_l, R_ba_l, t_ba_l = [], [], [], []
+    gR_ab_l, gt_ab_l, gR_ba_l, gt_ba_l = [], [], [], []
+    key = jax.random.PRNGKey(0)
+    count_i = 0
+    for k, batch in enumerate(test_loader):
+        key, sub = jax.random.split(key)
+        metrics = jax.device_get(step(params, batch, sub))
+        for mk, v in metrics.items():
+            agg[mk] = agg.get(mk, 0.0) + float(v)
+        n_batches += 1
+        R_ab, t_ab, R_ba, t_ba = jax.device_get(fwd(params, batch))
+        R_ab_l.append(R_ab), t_ab_l.append(t_ab)
+        R_ba_l.append(R_ba), t_ba_l.append(t_ba)
+        gR_ab_l.append(np.asarray(batch["R"]))
+        gt_ab_l.append(np.asarray(batch["T"]))
+        gR_ba_l.append(np.asarray(batch["R_inv"]))
+        gt_ba_l.append(np.asarray(batch["T_inv"]))
+        log(f"i{k}, loss_gt:{float(metrics['loss_gt']):4f}, "
+            f"loss_pp_wise{float(metrics['loss_pp_wise']):4f}, "
+            f"loss_chamfer{float(metrics['loss_chamfer']):4f}")
+        if save_objs:
+            src = np.asarray(batch["points_src_sample"])
+            pred = np.asarray(L.dcp_transform(
+                jnp.asarray(src), jnp.asarray(R_ab), jnp.asarray(t_ab)))
+            gt_src = np.asarray(L.dcp_transform(
+                jnp.asarray(src), jnp.asarray(batch["R"]),
+                jnp.asarray(batch["T"])))
+            tar = np.asarray(batch["points_tar_sample"])
+            from a_robust_registration_loss_tpu.data import objio
+
+            for b in range(src.shape[0]):
+                # reference naming: {epoch}_{i}pred_src/gt/src/src_gt.obj
+                # (Train_DCP.py:176-207; 'gt' is the TARGET cloud there)
+                pre = os.path.join(out_dir, f"{epoch}_{count_i}")
+                objio.write_obj(pre + "pred_src.obj", pred[b])
+                objio.write_obj(pre + "gt.obj", tar[b])
+                objio.write_obj(pre + "src.obj", src[b])
+                objio.write_obj(pre + "src_gt.obj", gt_src[b])
+                count_i += 1
+
+    summary = {k: v / max(n_batches, 1) for k, v in agg.items()}
+
+    def euler_stats(R_pred, R_gt, t_pred, t_gt, suffix):
+        e_p = np.asarray(EM.mat2euler(jnp.asarray(np.concatenate(R_pred)),
+                                      seq="xyz"))
+        e_g = np.asarray(EM.mat2euler(jnp.asarray(np.concatenate(R_gt)),
+                                      seq="xyz"))
+        tp, tg = np.concatenate(t_pred), np.concatenate(t_gt)
+        r_mse = float(np.mean((e_p - e_g) ** 2))
+        t_mse = float(np.mean((tp - tg) ** 2))
+        return {
+            f"r_mse_{suffix}": r_mse,
+            f"r_rmse_{suffix}": float(np.sqrt(r_mse)),
+            f"r_mae_{suffix}": float(np.mean(np.abs(e_p - e_g))),
+            f"t_mse_{suffix}": t_mse,
+            f"t_rmse_{suffix}": float(np.sqrt(t_mse)),
+            f"t_mae_{suffix}": float(np.mean(np.abs(tp - tg))),
+        }
+
+    summary.update(euler_stats(R_ab_l, gR_ab_l, t_ab_l, gt_ab_l, "ab"))
+    summary.update(euler_stats(R_ba_l, gR_ba_l, t_ba_l, gt_ba_l, "ba"))
+    summary["rmse_ab"] = float(np.sqrt(summary["mse_ab"]))
+    summary["rmse_ba"] = float(np.sqrt(summary["mse_ba"]))
+    with open(os.path.join(out_dir, "Eval.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    log("EVAL " + " ".join(
+        f"{k}={summary[k]:.6f}"
+        for k in ("loss", "loss_intersection", "loss_chamfer", "rmse_ab",
+                  "r_rmse_ab", "r_mae_ab", "t_rmse_ab")))
+    return summary
+
+
 def main(argv=None):
     from a_robust_registration_loss_tpu.data import dataset as DS
 
@@ -131,6 +250,12 @@ def main(argv=None):
     ap.add_argument("--n_heads", type=int, default=4)
     ap.add_argument("--ff_dims", type=int, default=1024)
     ap.add_argument("--cycle", action="store_true")
+    ap.add_argument("--train_count", type=int, default=None,
+                    help="train/test split: first N pairs train, rest test")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="reload the latest checkpoint and run the full "
+                         "test_one_epoch artifact pass (metric battery + "
+                         "obj dumps + Eval.json, Train_DCP.py:62-230)")
     ap.add_argument("--init_from_torch", default=None,
                     help="a reference DCP .pth checkpoint to transplant as "
                          "the initialization (the reference fine-tunes from "
@@ -171,7 +296,8 @@ def main(argv=None):
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
-        train_batch=args.batch_size, dcp=True, seed=args.seed))
+        train_batch=args.batch_size, dcp=True, seed=args.seed,
+        train_count=args.train_count))
     cfg = DCPTrainConfig(
         lr=args.lr,
         loss=L.LossConfig(n_lines=args.n_lines, cycle=args.cycle,
@@ -194,7 +320,27 @@ def main(argv=None):
         sd = {k: v.cpu().numpy() for k, v in sd.items()}
         init_from = transplant.dcp_from_state_dict(sd,
                                                    n_blocks=cfg.model.n_blocks)
-    train(cfg, train_loader, test_loader, init_from=init_from, mesh=mesh)
+    if args.eval_only:
+        import os
+
+        from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+        model, optimizer, _, _, _ = make_steps(cfg)
+        batch0 = next(iter(train_loader))
+        params = (init_from if init_from is not None else
+                  init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0))
+        ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
+        state, _ = ckpt.load({"params": params,
+                              "opt_state": optimizer.init(params),
+                              "epoch": 0})
+        epoch = 0
+        if state is not None:
+            params = state["params"]
+            epoch = int(state["epoch"])
+        evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
+                 epoch=epoch)
+    else:
+        train(cfg, train_loader, test_loader, init_from=init_from, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -217,6 +217,8 @@ def main(argv=None):
     ap.add_argument("--exp_dir", default="./exps/fmr")
     ap.add_argument("--layout", default="indexed", choices=["indexed", "views"])
     ap.add_argument("--n_pairs", type=int, default=4)
+    ap.add_argument("--train_count", type=int, default=None,
+                    help="train/test split: first N pairs train, rest test")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_lines", type=int, default=15000)
@@ -267,7 +269,8 @@ def main(argv=None):
 
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
-        train_batch=args.batch_size, fmr=True, seed=args.seed))
+        train_batch=args.batch_size, fmr=True, seed=args.seed,
+        train_count=args.train_count))
     batch0 = next(iter(train_loader))
     n_pts = batch0["points_src_sample"].shape[1]
     cfg = FMRTrainConfig(

@@ -261,6 +261,8 @@ def main(argv=None):
     ap.add_argument("--exp_dir", default="./exps/rpm")
     ap.add_argument("--layout", default="indexed", choices=["indexed", "views"])
     ap.add_argument("--n_pairs", type=int, default=4)
+    ap.add_argument("--train_count", type=int, default=None,
+                    help="train/test split: first N pairs train, rest test")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--n_lines", type=int, default=10000)
@@ -323,7 +325,8 @@ def main(argv=None):
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
         train_batch=args.batch_size, seed=args.seed,
-        estimate_normals=args.estimate_normals))
+        estimate_normals=args.estimate_normals,
+        train_count=args.train_count))
     cfg = RPMTrainConfig(
         max_lr=args.max_lr,
         num_train_reg_iter=args.train_reg_iter,

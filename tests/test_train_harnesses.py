@@ -313,6 +313,49 @@ class TestSmokeTraining:
         assert all(np.isfinite([h["loss"] for h in history]))
         assert all(np.isfinite([h["test_loss"] for h in history]))
 
+    def test_dcp_evaluate_artifacts(self, tmp_path):
+        """DCP's full test_one_epoch artifact pass (Train_DCP.py:62-230):
+        the per-batch metric battery incl. the test intersection loss,
+        exact whole-set euler aggregation, the reference's {epoch}_{i}*.obj
+        dump naming, and the Eval.json summary."""
+        import json
+
+        from a_robust_registration_loss_tpu.models.dcp import DCPConfig
+        from a_robust_registration_loss_tpu.train import dcp as TD
+
+        cfg = TD.DCPTrainConfig(
+            loss=L.LossConfig(n_lines=128, line_chunk=None),
+            model=DCPConfig(emb_nn="pointnet", pointer="identity", head="svd",
+                            emb_dims=32, ff_dims=32, n_heads=2),
+            fit=harness.FitConfig(epochs=1, exp_dir=str(tmp_path / "dcp"),
+                                  save_every=0, log_tensorboard=False,
+                                  resume=False),
+        )
+        model, _, _, _, _ = TD.make_steps(cfg)
+        batch = make_batch()
+        # DCP adapter convention: column rotations (pre_dataloader.py:162-173)
+        batch = dict(batch)
+        batch["R"] = np.swapaxes(batch["R"], -1, -2).copy()
+        batch["R_inv"] = np.swapaxes(batch["R_inv"], -1, -2).copy()
+        params = TD.init_params(model, jax.random.PRNGKey(0), batch)
+        out = str(tmp_path / "eval")
+        summary = TD.evaluate(cfg, params, [batch, batch], out,
+                              log=lambda *a: None, epoch=3)
+        B = batch["points_src_sample"].shape[0]
+        for key in ("loss", "loss_gt", "loss_intersection", "loss_chamfer",
+                    "loss_pp_wise", "mse_ab", "mae_ab", "mse_ba", "mae_ba",
+                    "rmse_ab", "rmse_ba",
+                    "r_mse_ab", "r_rmse_ab", "r_mae_ab",
+                    "t_mse_ab", "t_rmse_ab", "t_mae_ab",
+                    "r_mse_ba", "r_rmse_ba", "r_mae_ba",
+                    "t_mse_ba", "t_rmse_ba", "t_mae_ba"):
+            assert key in summary and np.isfinite(summary[key]), key
+        for i in range(2 * B):
+            for suffix in ("pred_src", "gt", "src", "src_gt"):
+                assert (tmp_path / "eval" / f"3_{i}{suffix}.obj").exists()
+        saved = json.loads((tmp_path / "eval" / "Eval.json").read_text())
+        assert saved.keys() == summary.keys()
+
     def test_fmr_evaluate_csv(self, tmp_path):
         from a_robust_registration_loss_tpu.models.fmr import FMRConfig
         from a_robust_registration_loss_tpu.train import fmr as TF
