@@ -71,33 +71,40 @@ def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,
     sampling is non-differentiable in the reference too).
 
     With a (dp, sp) ``mesh`` the returned (B, L, 6) buffer is constrained to
-    P("dp", "sp") — batch over dp, lines over sp."""
+    P("dp", "sp") — batch over dp, lines over sp — and the resampler itself
+    runs inside a ``shard_map`` whose per-device program is EXACTLY the
+    unsharded one (replicated in/out specs): the accepted line set is
+    bit-identical under any mesh. This matters because the barycentric
+    accept test (ops/lines.py triangle_hits, reference loss.py:302-316) is
+    ``A + B + C <= S`` — an exact-equality-sensitive comparison for EVERY
+    true interior hit — so letting GSPMD repartition the producer flips ~5%
+    of accepts through different fusion/FMA patterns (observed round 1).
+    Cost of the replication: the resampler (a small fraction of the step;
+    the O(L*F) stage-1 sweep still shards over dp x sp) is computed
+    redundantly on each device instead of sp-parallel."""
     B = tar_box.shape[0]
     radius = radius_scale * jnp.linalg.norm(tar_box[:, 0] - tar_box[:, -1],
                                             axis=-1)
     keys = jax.random.split(key, B)
     v1 = jax.lax.stop_gradient(verts1)
     v2 = jax.lax.stop_gradient(verts2)
-    lines = jax.vmap(
-        lambda k, r, c, a, b: LN.resample_lines(k, r, c, n_lines, a, b)
-    )(keys, radius, centers, v1, v2)
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
 
-        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+    def produce(keys, radius, centers, v1, v2):
+        return jax.vmap(
+            lambda k, r, c, a, b: LN.resample_lines(k, r, c, n_lines, a, b)
+        )(keys, radius, centers, v1, v2)
 
-        # NOTE (distribution-level semantics, like the torch-RNG stance in
-        # ops/lines.py): constraining the lines repartitions the producer
-        # chain, and the zero-margin barycentric accept test can flip a
-        # borderline candidate under the different FMA/fusion pattern — so a
-        # mesh-constrained loss may differ from the unconstrained one by a
-        # measure-zero resampling difference (~0.1-2% depending on line
-        # count; tested in test_parallel.py). Sharded-vs-sharded is stable:
-        # (dp, sp) equals (dp, 1) to fp tolerance, and the metric itself is
-        # sharding-exact given identical lines. Anchoring/optimization
-        # barriers do not prevent the repartitioning (tried).
-        lines = pmesh.constrain(lines, mesh, P("dp", "sp"))
-    return lines
+    if mesh is None:
+        return produce(keys, radius, centers, v1, v2)
+
+    from jax.sharding import PartitionSpec as P
+
+    from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+    prod = jax.shard_map(produce, mesh=mesh, in_specs=(P(),) * 5,
+                         out_specs=P())
+    lines = prod(keys, radius, centers, v1, v2)
+    return pmesh.constrain(lines, mesh, P("dp", "sp"))
 
 
 def _metric_batch(src_neis_t, tar_neis, lines, cfg: LossConfig):

@@ -227,9 +227,7 @@ class TestShardedHarnessLoss:
 
     def test_sp_matches_dp_only(self, mesh8):
         """(dp=4, sp=2) equals (dp=8, sp=1) to fp tolerance: the line-axis
-        sharding itself changes nothing; only constraining at all can flip
-        borderline resampler accepts vs the unconstrained program (the
-        documented distribution-level caveat, train/losses.py:batch_lines)."""
+        sharding itself changes nothing."""
         loss_dp, mon_dp = self._loss_under(pmesh.make_mesh(dp=8, sp=1))
         loss_sp, mon_sp = self._loss_under(mesh8)
         np.testing.assert_allclose(float(loss_sp), float(loss_dp), rtol=1e-4)
@@ -237,18 +235,43 @@ class TestShardedHarnessLoss:
             np.testing.assert_allclose(float(mon_sp[k]), float(mon_dp[k]),
                                        rtol=1e-3, atol=1e-6, err_msg=k)
 
-    def test_sharded_loss_near_unsharded(self, mesh8):
-        """Constrained vs unconstrained may differ by borderline resampler
-        accepts — a measure-zero resampling difference, bounded here."""
+    def test_sharded_loss_matches_unsharded(self, mesh8):
+        """Constrained == unconstrained to fp tolerance: batch_lines runs
+        the resampler in a replicated shard_map whose per-device program is
+        exactly the unsharded one, so the accepted line set is bit-identical
+        under any mesh (round-1 VERDICT item 2 — previously bounded at
+        rtol=0.1 because GSPMD repartitioning flipped ~5% of the razor-edge
+        barycentric accepts)."""
         loss0, mon0 = self._loss_under(None)
         loss1, mon1 = self._loss_under(mesh8)
         assert np.isfinite(float(loss1))
-        np.testing.assert_allclose(float(loss1), float(loss0), rtol=0.1)
-        # monitors that do not depend on the lines at all must be EXACT
-        for k in ("loss_rotation", "loss_translation", "loss_chamfer",
-                  "loss_pp_wise", "loss_gt"):
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+        for k in mon0:
             np.testing.assert_allclose(float(mon1[k]), float(mon0[k]),
-                                       rtol=1e-5, err_msg=k)
+                                       rtol=1e-5, atol=1e-7, err_msg=k)
+
+    def test_sharded_lines_bitwise_identical(self, mesh8):
+        """The resampled line buffers themselves are BIT-identical between
+        the mesh-constrained and unconstrained programs."""
+        from a_robust_registration_loss_tpu.train import losses as L
+
+        batch = self._batch()
+        key = jax.random.PRNGKey(11)
+
+        def lines_under(mesh):
+            def f():
+                return L.batch_lines(key, batch["tar_box"], batch["centers"],
+                                     256, batch["points_src_sample"],
+                                     batch["points_tar_sample"], 0.5,
+                                     mesh=mesh)
+            if mesh is None:
+                return np.asarray(jax.jit(f)())
+            with mesh:
+                return np.asarray(jax.jit(f)())
+
+        l0 = lines_under(None)
+        l1 = lines_under(mesh8)
+        np.testing.assert_array_equal(l0, l1)
 
     def test_sp_gradient_matches_dp_only(self, mesh8):
         """Gradients w.r.t. the predicted transform: (dp, sp) == (dp, 1)."""
