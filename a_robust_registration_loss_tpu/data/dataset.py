@@ -166,11 +166,16 @@ def load_pair(src_path: str, tar_path: str, dcp: bool = False,
 
 
 class RegistrationPairs:
-    """Indexable pair dataset over path lists (the Dataset_2021_8_29 role)."""
+    """Indexable pair dataset over path lists (the Dataset_2021_8_29 role).
+
+    ``cache=True`` (default) keeps parsed pairs in memory after first load:
+    the on-disk data is static, so re-parsing OBJs every epoch (what the
+    reference's Dataset does each __getitem__) only burns host time —
+    at reference scale a full dataset is a few MB."""
 
     def __init__(self, src_paths: Sequence[str], tar_paths: Sequence[str],
                  dcp: bool = False, fmr: bool = False,
-                 estimate_normals: bool = False):
+                 estimate_normals: bool = False, cache: bool = True):
         if len(src_paths) != len(tar_paths):
             raise ValueError("src/tar path lists differ in length")
         self.src_paths = list(src_paths)
@@ -178,14 +183,20 @@ class RegistrationPairs:
         self.dcp = dcp
         self.fmr = fmr
         self.estimate_normals = estimate_normals
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self):
         return len(self.src_paths)
 
     def __getitem__(self, i: int) -> dict:
-        return load_pair(self.src_paths[i], self.tar_paths[i],
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        item = load_pair(self.src_paths[i], self.tar_paths[i],
                          dcp=self.dcp, fmr=self.fmr,
                          estimate_normals=self.estimate_normals)
+        if self._cache is not None:
+            self._cache[i] = item
+        return item
 
 
 def collate(items: List[dict]) -> dict:

@@ -22,6 +22,29 @@ import pytest  # noqa: E402
 REFERENCE = "/root/reference/code"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier: torch-golden/transplant oracles, smoke "
+             "training, end-to-end convergence (the full suite the verify "
+             "skill runs; default tier stays under ~2 minutes)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: tests marked ``slow`` — explicitly, or implicitly by
+    using the torch oracle fixtures (``torch_reference`` / ``torch_models``)
+    — are skipped unless --runslow is given."""
+    for item in items:
+        if {"torch_reference", "torch_models"} & set(getattr(item, "fixturenames", ())):
+            item.add_marker(pytest.mark.slow)
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def _install_reference_stubs():
     """Stub the reference's unavailable third-party imports (igl, openmesh,
     cv2) so its loss.py / LieAlgebra can be imported for golden-parity tests.
