@@ -81,10 +81,11 @@ def _transform_path(tar_sample_path: str) -> str:
                     ".obj", ".bin")
 
 
-def load_pair(src_path: str, tar_path: str, dcp: bool = False,
-              fmr: bool = False, estimate_normals: bool = False) -> dict:
-    """One registration pair as the reference's dict contract
-    (pre_dataloader.py:78-181). All values float32 numpy.
+def load_pair_plain(src_path: str, tar_path: str,
+                    estimate_normals: bool = False) -> dict:
+    """One registration pair as the reference's PLAIN dict contract
+    (pre_dataloader.py:78-161) — before the DCP/FMR adapters. All values
+    float32 numpy.
 
     Graceful degradation (divergence from the reference, which crashes):
     missing ``*_sample_normals.obj`` companions yield zero normals, or
@@ -151,6 +152,13 @@ def load_pair(src_path: str, tar_path: str, dcp: bool = False,
         "points_based_neighs_tar": neighs_tar.astype(np.float32),
         "igt": igt.astype(np.float32),
     }
+    return data
+
+
+def apply_adapters(data: dict, dcp: bool = False, fmr: bool = False) -> dict:
+    """The DCP (column-convention rotations, pre_dataloader.py:162-173) and
+    FMR (common-length truncation, :174-180) adapters over the plain dict."""
+    data = dict(data)
     if dcp:
         data["R"] = data["R"].T.copy()
         data["R_inv"] = data["R_inv"].T.copy()
@@ -165,6 +173,108 @@ def load_pair(src_path: str, tar_path: str, dcp: bool = False,
     return data
 
 
+def load_pair(src_path: str, tar_path: str, dcp: bool = False,
+              fmr: bool = False, estimate_normals: bool = False) -> dict:
+    """load_pair_plain + adapters (the full Dataset_2021_8_29 item path)."""
+    return apply_adapters(load_pair_plain(src_path, tar_path,
+                                          estimate_normals), dcp, fmr)
+
+
+@dataclasses.dataclass(frozen=True)
+class CorruptConfig:
+    """Data-corruption options behind the reference RPM CLI's
+    --num_points / --noise_type / --rot_mag / --trans_mag / --partial flags
+    (rpm/arguments.py:41-61, upstream RPM-Net heritage) — applied host-side
+    per item with epoch-varying explicit RNG, on the PLAIN contract (before
+    the DCP/FMR adapters).
+
+    - ``num_points``: random subsample of both clouds (+normals).
+    - ``noise_type``: "clean" | "jitter" (clipped gaussian on the source
+      cloud AND its neighbor buffer — both are surface samples of the same
+      noisy scan) | "crop" (planar partial view of the source; the neighbor
+      triples are cropped by their seed point under the same plane).
+    - ``rot_mag`` (degrees) / ``trans_mag``: an extra random SE(3) applied
+      to the source cloud, normals and neighbors, with the GT (R, T, R_inv,
+      T_inv, igt) updated so the pair stays exactly consistent.
+    """
+
+    num_points: Optional[int] = None
+    noise_type: str = "clean"
+    jitter_scale: float = 0.01
+    jitter_clip: float = 0.05
+    rot_mag: float = 0.0
+    trans_mag: float = 0.0
+    partial_keep: float = 0.7
+    seed: int = 0
+
+
+def corrupt_pair(data: dict, cfg: CorruptConfig, rng) -> dict:
+    """Apply CorruptConfig to one plain-contract item (see CorruptConfig).
+    Output shapes depend only on (input shapes, cfg) — batch-collatable."""
+    from a_robust_registration_loss_tpu.data import transforms as T
+
+    data = dict(data)
+    src = data["points_src_sample"]
+    tar = data["points_tar_sample"]
+
+    if cfg.num_points:
+        for tag, cloud in (("src", src), ("tar", tar)):
+            n = min(cfg.num_points, cloud.shape[0])
+            idx = np.sort(rng.choice(cloud.shape[0], size=n, replace=False))
+            data[f"points_{tag}_sample"] = cloud[idx]
+            data[f"normals_{tag}"] = data[f"normals_{tag}"][idx]
+        src = data["points_src_sample"]
+        tar = data["points_tar_sample"]
+
+    if cfg.noise_type == "jitter":
+        data["points_src_sample"], _ = T.random_jitter(
+            src, rng, scale=cfg.jitter_scale, clip=cfg.jitter_clip)
+        neis = data["points_based_neighs_src"]
+        data["points_based_neighs_src"], _ = T.random_jitter(
+            neis, rng, scale=cfg.jitter_scale, clip=cfg.jitter_clip)
+    elif cfg.noise_type == "crop":
+        cropped, idx, direction = T.random_crop(
+            src, rng, keep_ratio=cfg.partial_keep)
+        data["points_src_sample"] = cropped
+        data["normals_src"] = data["normals_src"][idx]
+        # crop the neighbor triples by their SEED point under the same plane
+        neis = data["points_based_neighs_src"].reshape(-1, 3, 3)
+        seeds = neis[:, 0, :]
+        k = max(1, int(round(seeds.shape[0] * cfg.partial_keep)))
+        proj = seeds.astype(np.float64) @ direction.astype(np.float64)
+        keep = np.sort(np.argsort(-proj, kind="stable")[:k])
+        data["points_based_neighs_src"] = neis[keep].reshape(-1, 3)
+
+    if cfg.rot_mag > 0.0 or cfg.trans_mag > 0.0:
+        _, Rg = T.random_rotator(np.zeros((1, 3), np.float32), rng,
+                                 mag=np.deg2rad(cfg.rot_mag))
+        Tg = np.zeros(3)
+        if cfg.trans_mag > 0.0:
+            Tg = rng.standard_normal(3)
+            Tg = Tg / np.linalg.norm(Tg) * rng.random() * cfg.trans_mag
+        src = data["points_src_sample"].astype(np.float64)
+        data["points_src_sample"] = (src @ Rg + Tg).astype(np.float32)
+        data["normals_src"] = (
+            data["normals_src"].astype(np.float64) @ Rg).astype(np.float32)
+        neis = data["points_based_neighs_src"].astype(np.float64)
+        data["points_based_neighs_src"] = (neis @ Rg + Tg).astype(np.float32)
+        # GT update (row convention, tar = src' @ R' + T'):
+        # src' = src @ Rg + Tg  =>  R' = Rg^T R, T' = T - Tg @ R'
+        R = data["R"].astype(np.float64)
+        Tt = data["T"].astype(np.float64)
+        R2 = Rg.T @ R
+        T2 = Tt - Tg @ R2
+        data["R"] = R2.astype(np.float32)
+        data["T"] = T2.astype(np.float32)
+        data["R_inv"] = R2.T.astype(np.float32)
+        data["T_inv"] = (-R2 @ T2).astype(np.float32)
+        igt = np.eye(4)
+        igt[:3, :3] = R2
+        igt[:3, 3] = -R2 @ T2
+        data["igt"] = igt.astype(np.float32)
+    return data
+
+
 class RegistrationPairs:
     """Indexable pair dataset over path lists (the Dataset_2021_8_29 role).
 
@@ -175,7 +285,8 @@ class RegistrationPairs:
 
     def __init__(self, src_paths: Sequence[str], tar_paths: Sequence[str],
                  dcp: bool = False, fmr: bool = False,
-                 estimate_normals: bool = False, cache: bool = True):
+                 estimate_normals: bool = False, cache: bool = True,
+                 corrupt: Optional[CorruptConfig] = None):
         if len(src_paths) != len(tar_paths):
             raise ValueError("src/tar path lists differ in length")
         self.src_paths = list(src_paths)
@@ -183,20 +294,34 @@ class RegistrationPairs:
         self.dcp = dcp
         self.fmr = fmr
         self.estimate_normals = estimate_normals
+        self.corrupt = corrupt
+        self.epoch = 0
         self._cache: Optional[dict] = {} if cache else None
+
+    def set_epoch(self, epoch: int):
+        """Corruption draws are a pure function of (corrupt.seed, epoch,
+        index) — fresh per epoch (the reference's per-__getitem__ transform
+        randomness), reproducible across kill-and-resume."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.src_paths)
 
-    def __getitem__(self, i: int) -> dict:
+    def _plain(self, i: int) -> dict:
         if self._cache is not None and i in self._cache:
             return self._cache[i]
-        item = load_pair(self.src_paths[i], self.tar_paths[i],
-                         dcp=self.dcp, fmr=self.fmr,
-                         estimate_normals=self.estimate_normals)
+        item = load_pair_plain(self.src_paths[i], self.tar_paths[i],
+                               estimate_normals=self.estimate_normals)
         if self._cache is not None:
             self._cache[i] = item
         return item
+
+    def __getitem__(self, i: int) -> dict:
+        item = self._plain(i)
+        if self.corrupt is not None:
+            rng = np.random.default_rng((self.corrupt.seed, self.epoch, i))
+            item = corrupt_pair(item, self.corrupt, rng)
+        return apply_adapters(item, self.dcp, self.fmr)
 
 
 def collate(items: List[dict]) -> dict:
@@ -233,6 +358,8 @@ class Loader:
 
     def __iter__(self):
         n = len(self.dataset)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(
@@ -320,6 +447,9 @@ class DatasetConfig:
     dcp: bool = False
     fmr: bool = False
     estimate_normals: bool = False
+    cache: bool = True
+    corrupt: Optional[CorruptConfig] = None   # applied to train AND test
+                                              # loaders (RPM-Net heritage)
 
 
 def generate_datasets(cfg: DatasetConfig):
@@ -337,11 +467,13 @@ def generate_datasets(cfg: DatasetConfig):
     n_train = cfg.train_count if cfg.train_count is not None else len(src)
     train_ds = RegistrationPairs(src[:n_train], tar[:n_train],
                                  dcp=cfg.dcp, fmr=cfg.fmr,
-                                 estimate_normals=cfg.estimate_normals)
+                                 estimate_normals=cfg.estimate_normals,
+                                 cache=cfg.cache, corrupt=cfg.corrupt)
     test_src = src[n_train:] or src[:cfg.test_count or len(src)]
     test_tar = tar[n_train:] or tar[:cfg.test_count or len(tar)]
     test_ds = RegistrationPairs(test_src, test_tar, dcp=cfg.dcp, fmr=cfg.fmr,
-                                estimate_normals=cfg.estimate_normals)
+                                estimate_normals=cfg.estimate_normals,
+                                cache=cfg.cache, corrupt=cfg.corrupt)
     train = Loader(train_ds, cfg.train_batch, shuffle=True, drop_last=True,
                    seed=cfg.seed)
     test = Loader(test_ds, cfg.test_batch, shuffle=False, drop_last=False,

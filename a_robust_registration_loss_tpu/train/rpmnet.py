@@ -288,6 +288,20 @@ def main(argv=None):
                          "(obj dumps + transform .bin + Val.json)")
     ap.add_argument("--estimate_normals", action="store_true",
                     help="PCA-estimate missing normals (bare point clouds)")
+    # data-corruption flags (the reference CLI's RPM-Net-heritage options,
+    # rpm/arguments.py:41-61), applied host-side in the loader
+    ap.add_argument("--num_points", type=int, default=None,
+                    help="random subsample both clouds to N points")
+    ap.add_argument("--noise_type", default="clean",
+                    choices=["clean", "jitter", "crop"],
+                    help="clean | jitter (clipped gaussian on the source) | "
+                         "crop (planar partial view of the source)")
+    ap.add_argument("--rot_mag", type=float, default=0.0,
+                    help="extra random source rotation, degrees (0 = off)")
+    ap.add_argument("--trans_mag", type=float, default=0.0,
+                    help="extra random source translation magnitude")
+    ap.add_argument("--partial", type=float, default=0.7,
+                    help="crop keep-ratio for --noise_type crop")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -322,11 +336,18 @@ def main(argv=None):
         mesh = pmesh.make_mesh(dp=dp, sp=args.sp,
                                devices=jax.devices()[: dp * args.sp])
 
+    corrupt = None
+    if (args.num_points or args.noise_type != "clean" or args.rot_mag > 0
+            or args.trans_mag > 0):
+        corrupt = DS.CorruptConfig(
+            num_points=args.num_points, noise_type=args.noise_type,
+            rot_mag=args.rot_mag, trans_mag=args.trans_mag,
+            partial_keep=args.partial, seed=args.seed)
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
         train_batch=args.batch_size, seed=args.seed,
         estimate_normals=args.estimate_normals,
-        train_count=args.train_count))
+        train_count=args.train_count, corrupt=corrupt))
     cfg = RPMTrainConfig(
         max_lr=args.max_lr,
         num_train_reg_iter=args.train_reg_iter,

@@ -88,6 +88,7 @@ def test_apply_twist_matches_se3():
     assert neis_t.shape == neis.shape
 
 
+@pytest.mark.slow
 class TestBatchedRegistration:
     """run_batch (beyond-reference capability): B simultaneous registrations
     converge like B independent runs."""

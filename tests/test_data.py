@@ -304,6 +304,98 @@ class TestCompanionPaths:
         np.testing.assert_allclose(pred, out["points_tar_sample"], atol=1e-5)
 
 
+class TestCorruption:
+    """The RPM CLI's data-corruption options (rpm/arguments.py:41-61) wired
+    into the loader: num_points / jitter / crop / rot_mag+trans_mag with
+    exact GT updates."""
+
+    def _item(self, n=64):
+        rng = np.random.default_rng(3)
+        src = rng.standard_normal((n, 3)).astype(np.float32)
+        ang = 0.4
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        Tt = np.array([0.1, -0.2, 0.05], np.float32)
+        tar = (src @ R + Tt).astype(np.float32)
+        igt = np.eye(4, dtype=np.float32)
+        igt[:3, :3] = R
+        igt[:3, 3] = -R @ Tt
+        return {
+            "points_src_sample": src, "points_tar_sample": tar,
+            "normals_src": np.tile(np.float32([[0, 0, 1]]), (n, 1)),
+            "normals_tar": np.tile(np.float32([[0, 0, 1]]), (n, 1)),
+            "points_based_neighs_src": np.repeat(src, 3, 0),
+            "points_based_neighs_tar": np.repeat(tar, 3, 0),
+            "tar_box": DS.bounding_box_corners_np(tar),
+            "centers": tar.mean(0),
+            "R": R, "T": Tt, "R_inv": R.T, "T_inv": -R @ Tt, "igt": igt,
+        }
+
+    def test_rot_trans_gt_stays_consistent(self):
+        item = self._item()
+        rng = np.random.default_rng(0)
+        out = DS.corrupt_pair(item, DS.CorruptConfig(rot_mag=30.0,
+                                                     trans_mag=0.5), rng)
+        pred = out["points_src_sample"] @ out["R"] + out["T"]
+        np.testing.assert_allclose(pred, out["points_tar_sample"], atol=1e-5)
+        # neighbors transformed identically: their seed rows == src rows x3
+        np.testing.assert_allclose(
+            out["points_based_neighs_src"].reshape(-1, 3, 3)[:, 0],
+            np.repeat(out["points_src_sample"], 3, 0).reshape(-1, 3, 3)[:, 0],
+            atol=1e-6)
+        # igt consistency
+        np.testing.assert_allclose(out["igt"][:3, :3], out["R"], atol=1e-6)
+        np.testing.assert_allclose(out["igt"][:3, 3],
+                                   -out["R"] @ out["T"], atol=1e-6)
+
+    def test_num_points_and_jitter(self):
+        item = self._item()
+        rng = np.random.default_rng(0)
+        out = DS.corrupt_pair(
+            item, DS.CorruptConfig(num_points=32, noise_type="jitter",
+                                   jitter_scale=0.01, jitter_clip=0.02), rng)
+        assert out["points_src_sample"].shape == (32, 3)
+        assert out["points_tar_sample"].shape == (32, 3)
+        assert out["normals_src"].shape == (32, 3)
+        # jitter bounded by clip
+        d = np.abs(out["points_based_neighs_src"]
+                   - item["points_based_neighs_src"])
+        assert d.max() <= 0.02 + 1e-6
+        assert d.max() > 0
+
+    def test_crop_shapes_and_halfspace(self):
+        item = self._item()
+        rng = np.random.default_rng(0)
+        out = DS.corrupt_pair(
+            item, DS.CorruptConfig(noise_type="crop", partial_keep=0.5), rng)
+        assert out["points_src_sample"].shape == (32, 3)
+        assert out["points_based_neighs_src"].shape == (32 * 3, 3)
+        assert out["points_tar_sample"].shape == (64, 3)  # target untouched
+
+    def test_loader_epoch_variation(self, tmp_path):
+        """Corruption draws vary per epoch but are reproducible."""
+        from a_robust_registration_loss_tpu.data import objio
+
+        rng = np.random.default_rng(5)
+        v = rng.standard_normal((32, 3)).astype(np.float32)
+        for stem in ("0_src_sample", "0_tar_sample"):
+            objio.write_obj(str(tmp_path / f"{stem}.obj"), v)
+            np.repeat(v, 3, 0).astype(np.float32).tofile(
+                str(tmp_path / f"{stem}_neigh.bin"))
+        ds = DS.RegistrationPairs(
+            [str(tmp_path / "0_src_sample.obj")],
+            [str(tmp_path / "0_tar_sample.obj")],
+            corrupt=DS.CorruptConfig(rot_mag=20.0, seed=7))
+        ds.set_epoch(0)
+        a0 = ds[0]["points_src_sample"]
+        ds.set_epoch(1)
+        a1 = ds[0]["points_src_sample"]
+        ds.set_epoch(0)
+        a0b = ds[0]["points_src_sample"]
+        assert not np.allclose(a0, a1)
+        np.testing.assert_array_equal(a0, a0b)
+
+
 class TestMakeDataset:
     def _base_cloud(self, n=256, seed=0):
         i = np.arange(n) + 0.5

@@ -44,6 +44,7 @@ class TestDCP:
         RtR = np.asarray(R_ba) @ np.asarray(R)
         np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-5)
 
+    @pytest.mark.slow
     def test_grad(self, rng):
         src, _ = _clouds(rng, n=64)
         tgt, _ = _clouds(rng, n=64)
@@ -60,6 +61,7 @@ class TestDCP:
 
 
 class TestRPMNet:
+    @pytest.mark.slow
     def test_forward_and_det(self, rng):
         src, nsrc = _clouds(rng)
         ref, nref = _clouds(rng)
@@ -97,6 +99,7 @@ class TestRPMNet:
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestFMR:
     def test_converges_on_exact_pair(self, rng):
         tgt, _ = _clouds(rng, b=2, n=128)

@@ -88,6 +88,7 @@ def _compare_intersections(neis, lines, tl, tf, w_atol=3e-4):
 
 
 class TestStage1Equivalence:
+    @pytest.mark.slow
     def test_non_multiple_tiles(self):
         """F=333, L=257 with 128-tiles: 3x3 grid, ragged last tiles on both
         axes; the face sweep exercises the cross-tile rank carry."""
@@ -136,6 +137,7 @@ class TestStage1Equivalence:
         np.testing.assert_array_equal(slot_idx[0], hit_faces[:4])
         assert (count[1:] == 0).all()
 
+    @pytest.mark.slow
     def test_default_tiles_padding(self):
         """Default (1024, 512) tiles with tiny F/L: heavy padding on both
         axes must not leak phantom intersections."""
@@ -165,6 +167,7 @@ class TestEndToEndEquivalence:
         np.testing.assert_allclose(float(loss_p), float(loss_x),
                                    rtol=8e-3, atol=2e-5)
 
+    @pytest.mark.slow
     def test_gradient_matches_xla(self):
         """Gradients w.r.t. the source neighborhoods flow only through the
         differentiable reconstruction, which both backends share — but the
@@ -186,6 +189,7 @@ class TestEndToEndEquivalence:
         np.testing.assert_allclose(g_p, g_x, rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestRigidFastPath:
     def test_rigid_matches_transformed_value_and_grad(self):
         """intersection_loss_rigid's pallas shortcut (kernel-emitted
@@ -234,6 +238,7 @@ class TestRigidFastPath:
                                    atol=2e-5)
 
 
+@pytest.mark.slow
 class TestPairKernelAndEmitModes:
     """The paired dispatch (intersect_stage1_pair) and the emit_d2 /
     emit_recon / emit_pts output modes must be bitwise consistent with the

@@ -76,6 +76,7 @@ class TestShardedMetric:
         np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
 
 
+@pytest.mark.slow
 class TestShardedTrainStep:
     def test_dp_sp_train_step_matches_single_device(self, mesh8):
         """One Adam step of the batched classical objective on the (4, 2)
@@ -160,6 +161,7 @@ class TestShardedTrainStep:
         assert losses[1] < losses[0]
 
 
+@pytest.mark.slow
 class TestShardedPallasBackend:
     def test_line_sharded_metric_pallas_interpret(self, mesh8):
         """The pallas (interpret) backend under a line-sharded batch on the
@@ -225,6 +227,7 @@ class TestShardedHarnessLoss:
             return jax.jit(
                 lambda: L.dcp_cal_loss(sbatch, R_ab, t_ab, key, cfg))()
 
+    @pytest.mark.slow
     def test_sp_matches_dp_only(self, mesh8):
         """(dp=4, sp=2) equals (dp=8, sp=1) to fp tolerance: the line-axis
         sharding itself changes nothing."""
@@ -273,6 +276,7 @@ class TestShardedHarnessLoss:
         l1 = lines_under(mesh8)
         np.testing.assert_array_equal(l0, l1)
 
+    @pytest.mark.slow
     def test_sp_gradient_matches_dp_only(self, mesh8):
         """Gradients w.r.t. the predicted transform: (dp, sp) == (dp, 1)."""
         from a_robust_registration_loss_tpu.train import losses as L
