@@ -465,6 +465,7 @@ class TestCheckpointManager:
         st, step = m.load(self._state(0), best=True)
         assert step == 1 and float(st["params"]["w"][0]) == 1.0
 
+    @pytest.mark.slow
     def test_kill_and_resume_identical_losses(self, tmp_path):
         """VERDICT task 5 'Done' criterion: resume reproduces the exact
         subsequent losses of an uninterrupted run."""
