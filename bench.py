@@ -49,6 +49,61 @@ def _load_pair():
         return v1, v2
 
 
+def pallas_gate(data, n_lines: int = 4096):
+    """On-hardware Pallas <-> XLA equivalence gate (round-1 VERDICT weak
+    item 2): the unit suite checks the kernel only in interpret mode on CPU,
+    and this platform has already miscompiled a vmapped gather once
+    (ops/geometry.py workaround) — so before every recorded bench, assert on
+    the REAL chip that the fused stage-1 kernel agrees with the XLA path:
+    count/slot_idx exact, loss + gradient within 1e-4. Fails loudly (raises)
+    so a silent Mosaic/axon miscompile can't produce a plausible-looking
+    headline number or corrupt training runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from a_robust_registration_loss_tpu.ops import lines as LN
+    from a_robust_registration_loss_tpu.ops import metric as M
+
+    n1, n2 = data["neis_src"], data["neis_tar"]
+    lines = jax.jit(LN.resample_lines, static_argnums=3)(
+        jax.random.PRNGKey(42), data["radius"], data["center"], n_lines,
+        data["src"], data["tar"])
+
+    out = {}
+    for backend in ("xla", "pallas"):
+        inter1 = jax.jit(M.find_intersections,
+                         static_argnames=("kmax", "backend"))(
+            n1, lines, kmax=4, backend=backend)
+
+        def loss_of(t, _backend=backend):
+            return M.intersection_loss_rigid(
+                jnp.eye(3, dtype=n1.dtype), t, n1, n2, lines,
+                backend=_backend)[0]
+
+        loss, grad = jax.jit(jax.value_and_grad(loss_of))(
+            jnp.full((3,), 0.01, n1.dtype))
+        out[backend] = (jax.device_get(inter1), float(loss),
+                        np.asarray(grad))
+
+    (ix, lx, gx), (ip_, lp, gp) = out["xla"], out["pallas"]
+    problems = []
+    if not np.array_equal(np.asarray(ix.count), np.asarray(ip_.count)):
+        problems.append("stage1 count mismatch "
+                        f"({int(np.sum(np.asarray(ix.count) != np.asarray(ip_.count)))} lines)")
+    if not np.array_equal(np.asarray(ix.slot_idx), np.asarray(ip_.slot_idx)):
+        problems.append("stage1 slot_idx mismatch")
+    if not np.isfinite(lp) or abs(lp - lx) > 1e-4 * max(1.0, abs(lx)):
+        problems.append(f"loss mismatch xla={lx} pallas={lp}")
+    if not np.allclose(gp, gx, rtol=1e-4, atol=1e-6):
+        problems.append(f"grad mismatch xla={gx} pallas={gp}")
+    if problems:
+        print(json.dumps({"metric": "registration_iters_per_sec_2048pts",
+                          "value": 0.0, "unit": "iters/sec",
+                          "vs_baseline": 0.0,
+                          "error": "PALLAS GATE FAILED: " + "; ".join(problems)}))
+        raise SystemExit(1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,6 +117,8 @@ def main():
         compute_chamfer=False, backend="pallas",
     )
     data = classical.prepare_pair(v1, v2, cfg)
+    if jax.default_backend() not in ("cpu",):
+        pallas_gate(data)
     optimizer = optax.adam(classical.lr_schedule(cfg))
     params = classical.init_twist(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
