@@ -42,6 +42,7 @@ class FitConfig:
     seed: int = 1234
     resume: bool = True            # reload-latest (rpm/Train_RPM.py:453-464)
     log_tensorboard: bool = True
+    async_checkpoints: bool = True  # orbax async save off the epoch loop
 
 
 def dump_registration_objs(directory: str, tag, src, pred, tar, gt_src=None):
@@ -85,6 +86,7 @@ class Trainer:
             max_to_keep=cfg.max_to_keep,
             keep_every_n_hours=cfg.keep_every_n_hours,
             best_mode="min" if score_mode == "min" else "max",
+            use_async=cfg.async_checkpoints,
         )
 
     def _put(self, batch):
@@ -206,4 +208,5 @@ class Trainer:
                     f"{k}={v:.6f}" for k, v in eval_metrics.items())
                    if eval_metrics else "")
                 + f" ({dt:.1f}s)")
+        self.ckpt.wait_until_finished()  # commit any in-flight async save
         return params, opt_state, history

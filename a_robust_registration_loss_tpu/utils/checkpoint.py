@@ -32,7 +32,8 @@ class CheckPointManager:
     MANIFEST = "checkpoints.json"
 
     def __init__(self, directory: str, max_to_keep: int = 5,
-                 keep_every_n_hours: float = 6.0, best_mode: str = "max"):
+                 keep_every_n_hours: float = 6.0, best_mode: str = "max",
+                 use_async: bool = False):
         import orbax.checkpoint as ocp
 
         if best_mode not in ("max", "min"):
@@ -41,9 +42,21 @@ class CheckPointManager:
         self.max_to_keep = max_to_keep
         self.keep_every_n_hours = keep_every_n_hours
         self.best_mode = best_mode
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self.use_async = use_async
+        if use_async:
+            # saves return immediately and serialize off the epoch critical
+            # path; at most one save is in flight (save()/load() wait first)
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
         os.makedirs(directory, exist_ok=True)
         self._state = self._read_manifest()
+
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed (no-op for the
+        sync checkpointer)."""
+        if self.use_async:
+            self._ckptr.wait_until_finished()
 
     # -- manifest -----------------------------------------------------------
     def _manifest_path(self):
@@ -75,6 +88,7 @@ class CheckPointManager:
         """Write ckpt-{step}; rotate/promote/copy-best per policy. Returns
         the checkpoint path. ``_now`` is injectable for tests."""
         now = time.time() if _now is None else _now
+        self.wait_until_finished()  # at most one async save in flight
         path = self._path(step)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -111,9 +125,18 @@ class CheckPointManager:
                 st["best_score"] = float(score)
                 st["best_step"] = step
                 best = self._best_path()
-                if os.path.exists(best):
-                    shutil.rmtree(best)
-                shutil.copytree(path, best)
+                if self.use_async:
+                    # copytree would race the in-flight write of ``path``;
+                    # issue a SECOND save of the in-memory state instead
+                    # (waits for the ckpt-{step} save first: one in flight)
+                    self.wait_until_finished()
+                    if os.path.exists(best):
+                        shutil.rmtree(best)
+                    self._ckptr.save(best, state)
+                else:
+                    if os.path.exists(best):
+                        shutil.rmtree(best)
+                    shutil.copytree(path, best)
         self._write_manifest()
         return path
 
@@ -130,14 +153,26 @@ class CheckPointManager:
         state pytree — optax states round-trip exactly). Returns
         (state, step) or (None, None) when nothing exists (the reference's
         reload-latest path tolerates an empty directory,
-        rpm/Train_RPM.py:453-464)."""
+        rpm/Train_RPM.py:453-464).
+
+        Latest-load is crash-tolerant: if the newest checkpoint is
+        unreadable (e.g. the process died mid-async-save), older rotating
+        steps are tried in order — the resume guarantee degrades to the
+        previous epoch instead of failing."""
+        self.wait_until_finished()
         if best:
             if self._state["best_step"] is None:
                 return None, None
             return (self._ckptr.restore(self._best_path(), item=target),
                     self._state["best_step"])
-        if step is None:
-            step = self.latest_step()
-            if step is None:
-                return None, None
-        return self._ckptr.restore(self._path(step), item=target), step
+        if step is not None:
+            return self._ckptr.restore(self._path(step), item=target), step
+        steps = sorted(
+            {s for s, _ in self._state["rotating"]}
+            | set(self._state["permanent"]), reverse=True)
+        for s in steps:
+            try:
+                return self._ckptr.restore(self._path(s), item=target), s
+            except Exception:
+                continue
+        return None, None
