@@ -122,6 +122,20 @@ def _fill_first_n(cand, ok, n):
     return jnp.where((srt[0][:n] < 2**30)[:, None], out, 0.0)
 
 
+def _fill_first_n_gather(cand, ok, n):
+    """Same selection as _fill_first_n via a 2-operand (key, index) sort +
+    one n-row gather of the payload — sorts 2 columns instead of 7 at the
+    price of a random-access gather of only n (not 10n) rows. Benchmarked
+    against _fill_first_n on TPU (benchmarks/bench_resampler.py); output is
+    identical (same keys, same stable order)."""
+    pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    key = jnp.where(ok & (pos < n), pos, 2**30)
+    iota = jnp.arange(cand.shape[0], dtype=jnp.int32)
+    keys_s, idx_s = jax.lax.sort([key, iota], num_keys=1)
+    out = jnp.take(cand, idx_s[:n], axis=0)
+    return jnp.where((keys_s[:n] < 2**30)[:, None], out, 0.0)
+
+
 def resample_lines(key, r, center, n: int, vertices1, vertices2,
                    rounds: int = 10, fast_rounds: int = 10):
     """Rejection resampling of n lines hitting both clouds' AABB meshes
