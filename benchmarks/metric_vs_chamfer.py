@@ -47,11 +47,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu) — the axon TPU "
+                         "plugin ignores the JAX_PLATFORMS env var")
     ap.add_argument("--out", default=os.path.join(HERE,
                                                   "METRIC_VS_CHAMFER.json"))
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from a_robust_registration_loss_tpu.data import objio
     from a_robust_registration_loss_tpu.train import classical as C
