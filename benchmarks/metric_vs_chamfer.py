@@ -74,7 +74,7 @@ def main(argv=None):
         num_sample=args.num_sample, seed=args.seed, backend=args.backend,
         compute_chamfer=True,
     )
-    _, hist = C.run(src, tar, cfg, log=lambda *a: None)
+    _, hist = C.run(src, tar, cfg)
     loss = np.asarray(hist["loss"], np.float64)
     cd = np.asarray(hist["chamfer"], np.float64)
 
