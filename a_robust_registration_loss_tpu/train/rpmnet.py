@@ -319,12 +319,19 @@ def main(argv=None):
     ap.add_argument("--debug_nans", action="store_true",
                     help="raise on NaN in any jitted op (the reference's "
                          "--debug autograd anomaly mode, rpm/arguments.py:22-24)")
+    ap.add_argument("--debug", action="store_true",
+                    help="anomaly detection + pdb post-mortem on NaN (the "
+                         "reference's TorchDebugger, rpm/common/torch.py:161-172)")
     args = ap.parse_args(argv)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.debug_nans:
+    if args.debug_nans or args.debug:
         jax.config.update("jax_debug_nans", True)
+    if args.debug:
+        from a_robust_registration_loss_tpu.utils import debug as DBG
+
+        DBG.install_pdb_excepthook()
     if args.backend == "auto":
         args.backend = ("pallas" if jax.devices()[0].platform not in ("cpu",)
                         else "xla")
