@@ -49,12 +49,21 @@ cost is forward-only.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from a_robust_registration_loss_tpu.ops import geometry as G
+
+# fp32-exact matmuls: TPU's default matmul precision is bfloat16, which
+# silently truncates the rigid transforms (p @ R) on the metric path to
+# ~1e-3 accuracy — caught by bench.py's on-hardware pallas gate (the two
+# backends transformed in different places and disagreed at 2e-3). The
+# whole geometry/metric path pins HIGHEST (se3/ and ops/geometry.py already
+# do); the NN model forwards keep the standard default.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def welsch(x, c):
@@ -330,11 +339,11 @@ def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
     costs ~1.6 ms at L=20k on TPU)."""
     if backend != "pallas":
         return intersection_loss_transformed(
-            lambda p: p @ R + t, point_neis1, point_neis2, lines,
+            lambda p: _mm(p, R) + t, point_neis1, point_neis2, lines,
             kmin, kmax, line_chunk, backend, interpret)
 
     neis1_t = jax.lax.stop_gradient(
-        (point_neis1.reshape(-1, 3) @ R + t).reshape(point_neis1.shape)
+        (_mm(point_neis1.reshape(-1, 3), R) + t).reshape(point_neis1.shape)
     )
     (inter1, recon1), (inter2, recon2) = _find_intersections_pallas_pair(
         neis1_t, point_neis2, lines, kmax, interpret,
@@ -353,8 +362,8 @@ def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
     filled1 = (inter1.slot_idx < F1)[..., None]
     Rd = jax.lax.stop_gradient(R)
     td = jax.lax.stop_gradient(t)
-    recon_raw = jnp.where(filled1, (recon1 - td) @ Rd.T, 0.0)
-    pts1 = jnp.where(filled1, (recon_raw @ R + t) / nnei, 0.0)
+    recon_raw = jnp.where(filled1, _mm(recon1 - td, Rd.T), 0.0)
+    pts1 = jnp.where(filled1, (_mm(recon_raw, R) + t) / nnei, 0.0)
     pts2 = jnp.where((inter2.slot_idx < F2)[..., None], recon2 / nnei, 0.0)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin,
                                         kmax)

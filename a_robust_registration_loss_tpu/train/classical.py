@@ -75,8 +75,11 @@ def apply_twist(params, points, point_neis):
     """points @ R + t on the cloud and its flattened neighborhoods
     (reference: loss.py:455-463)."""
     R, t = se3.exp3(params.reshape(6))
-    pts = points @ R + t
-    neis = (point_neis.reshape(-1, 3) @ R + t).reshape(point_neis.shape)
+    # precision: TPU default matmul is bf16 — the metric path pins fp32
+    pts = jnp.matmul(points, R, precision=jax.lax.Precision.HIGHEST) + t
+    neis = (jnp.matmul(point_neis.reshape(-1, 3), R,
+                       precision=jax.lax.Precision.HIGHEST)
+            + t).reshape(point_neis.shape)
     return pts, neis
 
 
@@ -124,7 +127,8 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
 
         def loss_fn(p):
             R, t = se3.exp3(p.reshape(6))
-            src_t = data["src"] @ R + t
+            src_t = jnp.matmul(data["src"], R,
+                               precision=jax.lax.Precision.HIGHEST) + t
             # gather-then-transform metric: same value/grad as transforming
             # the neighbor array first, without the backward scatter
             loss, valid = M.intersection_loss_rigid(
@@ -314,7 +318,7 @@ def make_batch_step(cfg: ClassicalConfig, data, optimizer):
 
         def one_transform(p, s):
             R, t = se3.exp3(p.reshape(6))
-            return s @ R + t
+            return jnp.matmul(s, R, precision=jax.lax.Precision.HIGHEST) + t
 
         src_t = jax.vmap(one_transform)(params, data["src"])
         if cfg.compute_chamfer:

@@ -147,7 +147,8 @@ def _flat_neis(neighs):
 
 def dcp_transform(points, R, t):
     """Column-convention p' = R p + t on (B, N, 3) points."""
-    return jnp.einsum("bij,bnj->bni", R, points) + t[:, None, :]
+    return jnp.einsum("bij,bnj->bni", R, points,
+                      precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
 
 
 def dcp_cal_loss(data, R_ab, t_ab, key, cfg: LossConfig = LossConfig()):

@@ -49,7 +49,7 @@ def _load_pair():
         return v1, v2
 
 
-def pallas_gate(data, n_lines: int = 4096):
+def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
     """On-hardware Pallas <-> XLA equivalence gate (round-1 VERDICT weak
     item 2): the unit suite checks the kernel only in interpret mode on CPU,
     and this platform has already miscompiled a vmapped gather once
@@ -64,24 +64,28 @@ def pallas_gate(data, n_lines: int = 4096):
     from a_robust_registration_loss_tpu.ops import lines as LN
     from a_robust_registration_loss_tpu.ops import metric as M
 
-    n1, n2 = data["neis_src"], data["neis_tar"]
+    # small shapes: remote compiles dominate gate cost, so ONE jitted
+    # program per backend (stage-1 record + loss + grad together)
+    n1, n2 = data["neis_src"][:n_faces], data["neis_tar"][:n_faces]
     lines = jax.jit(LN.resample_lines, static_argnums=3)(
         jax.random.PRNGKey(42), data["radius"], data["center"], n_lines,
         data["src"], data["tar"])
 
     out = {}
     for backend in ("xla", "pallas"):
-        inter1 = jax.jit(M.find_intersections,
-                         static_argnames=("kmax", "backend"))(
-            n1, lines, kmax=4, backend=backend)
+        @jax.jit
+        def gate_fn(t, _backend=backend):
+            inter = M.find_intersections(n1, lines, kmax=4, backend=_backend)
 
-        def loss_of(t, _backend=backend):
-            return M.intersection_loss_rigid(
-                jnp.eye(3, dtype=n1.dtype), t, n1, n2, lines,
-                backend=_backend)[0]
+            def loss_of(tt):
+                return M.intersection_loss_rigid(
+                    jnp.eye(3, dtype=n1.dtype), tt, n1, n2, lines,
+                    backend=_backend)[0]
 
-        loss, grad = jax.jit(jax.value_and_grad(loss_of))(
-            jnp.full((3,), 0.01, n1.dtype))
+            loss, grad = jax.value_and_grad(loss_of)(t)
+            return inter, loss, grad
+
+        inter1, loss, grad = gate_fn(jnp.full((3,), 0.01, n1.dtype))
         out[backend] = (jax.device_get(inter1), float(loss),
                         np.asarray(grad))
 
