@@ -166,16 +166,16 @@ def resample_lines(key, r, center, n: int, vertices1, vertices2,
 
     if fast_rounds >= rounds:
         cand, ok = draw(key, rounds * n)
-        return _fill_first_n(cand, ok, n)
+        return _fill_first_n_gather(cand, ok, n)
 
     k_fast, k_full = jax.random.split(key)
     cand, ok = draw(k_fast, fast_rounds * n)
 
     def fast(_):
-        return _fill_first_n(cand, ok, n)
+        return _fill_first_n_gather(cand, ok, n)
 
     def full(_):
         c2, ok2 = draw(k_full, rounds * n)
-        return _fill_first_n(c2, ok2, n)
+        return _fill_first_n_gather(c2, ok2, n)
 
     return jax.lax.cond(jnp.sum(ok) >= n, fast, full, None)

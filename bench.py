@@ -24,8 +24,8 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 3.5
 N_POINTS = 2048
 N_LINES = 20000
-WARMUP = 5
-ITERS = 30
+WARMUP = 20
+ITERS = 200
 
 
 def _load_pair():
@@ -126,20 +126,30 @@ def main():
     optimizer = optax.adam(classical.lr_schedule(cfg))
     params = classical.init_twist(jax.random.PRNGKey(0))
     opt_state = optimizer.init(params)
-    step = jax.jit(classical.make_step(cfg, data, optimizer))
+    step = classical.make_step(cfg, data, optimizer)
+
+    # measure the PRODUCTION path: classical.run drives blocks of epochs as
+    # one scanned device program (train/classical.py:run_block) — a
+    # per-step Python dispatch over the tunneled chip adds ~1.6 ms/step of
+    # host gap that the real demo/training loop does not pay (profiler:
+    # device compute is ~3.1 ms/step of the 4.7 ms per-dispatch wall)
+    @jax.jit
+    def run_block(carry, keys):
+        return jax.lax.scan(step, carry, keys)
 
     carry = (params, opt_state, data["src"])
-    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP + ITERS)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * ITERS)
 
-    for i in range(WARMUP):
-        carry, metrics = step(carry, keys[i])
+    # warmup block has the SAME shape as the timed one (a different key
+    # count would compile a second program inside the timed region)
+    carry, metrics = run_block(carry, keys[:ITERS])
     jax.block_until_ready(carry)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        carry, metrics = step(carry, keys[WARMUP + i])
+    carry, metrics = run_block(carry, keys[ITERS:])
     jax.block_until_ready(carry)
     dt = time.perf_counter() - t0
+    metrics = {k: v[-1] for k, v in metrics.items()}
 
     iters_per_sec = ITERS / dt
     out = {
