@@ -61,6 +61,15 @@ class LossConfig:
     # parallel/mesh.py). None = no constraint (single device or pure dp).
     mesh: Optional[object] = None
 
+    def __post_init__(self):
+        # fail at CONFIG time, not first call: the fused pallas stage-1
+        # kernel is compiled for kmax=4 (every reference call site uses
+        # (1, 1, 5, 5) — loss.py:170 callers); other kmax needs backend=xla
+        if self.backend == "pallas" and self.kmax != 4:
+            raise ValueError(
+                f"backend='pallas' supports only kmax=4 (got {self.kmax}); "
+                "use backend='xla' for non-default intersection caps")
+
 
 def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,
                 radius_scale: float, mesh=None):
