@@ -148,13 +148,21 @@ def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
     import numpy as np
 
     model, _, _, eval_step, _ = make_steps(cfg)
-    step = jax.jit(eval_step)
 
-    def forward(params, batch):
-        return model.apply({"params": params}, batch["points_src_sample"],
-                           batch["points_tar_sample"])
+    @jax.jit
+    def step(params, batch, key):
+        """eval_step + the predictions/transformed clouds the artifact path
+        needs, in ONE program — XLA CSEs the shared DCP forward, so the
+        network runs once per batch instead of three times."""
+        metrics = eval_step(params, batch, key)
+        R_ab, t_ab, R_ba, t_ba = model.apply(
+            {"params": params}, batch["points_src_sample"],
+            batch["points_tar_sample"])
+        pred = L.dcp_transform(batch["points_src_sample"], R_ab, t_ab)
+        gt_src = L.dcp_transform(batch["points_src_sample"], batch["R"],
+                                 batch["T"])
+        return metrics, (R_ab, t_ab, R_ba, t_ba), pred, gt_src
 
-    fwd = jax.jit(forward)
     os.makedirs(out_dir, exist_ok=True)
     agg, n_batches = {}, 0
     R_ab_l, t_ab_l, R_ba_l, t_ba_l = [], [], [], []
@@ -163,11 +171,11 @@ def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
     count_i = 0
     for k, batch in enumerate(test_loader):
         key, sub = jax.random.split(key)
-        metrics = jax.device_get(step(params, batch, sub))
+        metrics, tf, pred_d, gt_d = jax.device_get(step(params, batch, sub))
+        R_ab, t_ab, R_ba, t_ba = tf
         for mk, v in metrics.items():
             agg[mk] = agg.get(mk, 0.0) + float(v)
         n_batches += 1
-        R_ab, t_ab, R_ba, t_ba = jax.device_get(fwd(params, batch))
         R_ab_l.append(R_ab), t_ab_l.append(t_ab)
         R_ba_l.append(R_ba), t_ba_l.append(t_ba)
         gR_ab_l.append(np.asarray(batch["R"]))
@@ -179,11 +187,8 @@ def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
             f"loss_chamfer{float(metrics['loss_chamfer']):4f}")
         if save_objs:
             src = np.asarray(batch["points_src_sample"])
-            pred = np.asarray(L.dcp_transform(
-                jnp.asarray(src), jnp.asarray(R_ab), jnp.asarray(t_ab)))
-            gt_src = np.asarray(L.dcp_transform(
-                jnp.asarray(src), jnp.asarray(batch["R"]),
-                jnp.asarray(batch["T"])))
+            pred = np.asarray(pred_d)
+            gt_src = np.asarray(gt_d)
             tar = np.asarray(batch["points_tar_sample"])
             from a_robust_registration_loss_tpu.data import objio
 

@@ -300,8 +300,9 @@ def main(argv=None):
                     help="extra random source rotation, degrees (0 = off)")
     ap.add_argument("--trans_mag", type=float, default=0.0,
                     help="extra random source translation magnitude")
-    ap.add_argument("--partial", type=float, default=0.7,
-                    help="crop keep-ratio for --noise_type crop")
+    ap.add_argument("--partial", type=float, default=None,
+                    help="crop keep-ratio (requires --noise_type crop; "
+                         "crop default 0.7)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -343,13 +344,16 @@ def main(argv=None):
         mesh = pmesh.make_mesh(dp=dp, sp=args.sp,
                                devices=jax.devices()[: dp * args.sp])
 
+    if args.partial is not None and args.noise_type != "crop":
+        ap.error("--partial only applies with --noise_type crop")
     corrupt = None
     if (args.num_points or args.noise_type != "clean" or args.rot_mag > 0
             or args.trans_mag > 0):
         corrupt = DS.CorruptConfig(
             num_points=args.num_points, noise_type=args.noise_type,
             rot_mag=args.rot_mag, trans_mag=args.trans_mag,
-            partial_keep=args.partial, seed=args.seed)
+            partial_keep=(0.7 if args.partial is None else args.partial),
+            seed=args.seed)
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
         train_batch=args.batch_size, seed=args.seed,

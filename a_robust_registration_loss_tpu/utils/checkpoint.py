@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 from typing import Any, Optional
 
@@ -128,11 +129,14 @@ class CheckPointManager:
                 if self.use_async:
                     # copytree would race the in-flight write of ``path``;
                     # issue a SECOND save of the in-memory state instead
-                    # (waits for the ckpt-{step} save first: one in flight)
+                    # (waits for the ckpt-{step} save first: one in flight),
+                    # and commit it before the manifest write below — the
+                    # manifest must never point at an in-flight best dir
                     self.wait_until_finished()
                     if os.path.exists(best):
                         shutil.rmtree(best)
                     self._ckptr.save(best, state)
+                    self.wait_until_finished()
                 else:
                     if os.path.exists(best):
                         shutil.rmtree(best)
@@ -156,9 +160,13 @@ class CheckPointManager:
         rpm/Train_RPM.py:453-464).
 
         Latest-load is crash-tolerant: if the newest checkpoint is
-        unreadable (e.g. the process died mid-async-save), older rotating
-        steps are tried in order — the resume guarantee degrades to the
-        previous epoch instead of failing."""
+        unreadable (e.g. the process died mid-save), older rotating steps
+        are tried in order, each skip logged — the resume guarantee
+        degrades to the previous epoch instead of failing. If EVERY
+        existing checkpoint fails to restore (a systematic problem, e.g. a
+        changed state structure), the last error is re-raised rather than
+        silently restarting from scratch (which would then rotate away the
+        old run's checkpoints)."""
         self.wait_until_finished()
         if best:
             if self._state["best_step"] is None:
@@ -170,9 +178,15 @@ class CheckPointManager:
         steps = sorted(
             {s for s, _ in self._state["rotating"]}
             | set(self._state["permanent"]), reverse=True)
+        last_err = None
         for s in steps:
             try:
                 return self._ckptr.restore(self._path(s), item=target), s
-            except Exception:
+            except Exception as e:
+                last_err = e
+                print(f"[checkpoint] skipping unreadable ckpt-{s}: {e!r}",
+                      file=sys.stderr)
                 continue
+        if last_err is not None:
+            raise last_err
         return None, None

@@ -24,8 +24,7 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 3.5
 N_POINTS = 2048
 N_LINES = 20000
-WARMUP = 20
-ITERS = 200
+ITERS = 200   # per block; one same-shape block warms up, the second is timed
 
 
 def _load_pair():

@@ -10,8 +10,12 @@ This script re-runs that experiment on the committed sample pair: optimize a
 single registration with the metric (the classical demo path), record BOTH
 curves per step, and quantify the claim:
 
-- ``cd_increase_steps``: number of steps where CD rises while the running
-  best metric still improves afterwards (non-monotonicity);
+- ``cd_increase_steps``: number of steps where CD rises (raw count — both
+  implementations resample lines stochastically each step, exactly like
+  the reference's own curve);
+- ``cd_increase_steps_smoothed``: CD rises of the 10-step moving average —
+  non-monotonicity that survives smoothing out per-step resampling noise
+  (the stronger form of the claim);
 - ``argmin_cd_step`` vs ``final_step``: the CD optimum is not the endpoint;
 - ``cd_at_argmin_metric`` vs ``min_cd``: the metric's optimum does not
   minimize CD.
@@ -79,6 +83,10 @@ def main(argv=None):
     cd = np.asarray(hist["chamfer"], np.float64)
 
     d_cd = np.diff(cd)
+    # 10-step moving average: non-monotonicity beyond resampling noise
+    w = 10
+    cd_s = np.convolve(cd, np.ones(w) / w, mode="valid")
+    d_cd_s = np.diff(cd_s)
     result = {
         "config": {"label": args.label, "epochs": args.epochs,
                    "n_lines": args.n_lines, "num_sample": args.num_sample,
@@ -91,6 +99,8 @@ def main(argv=None):
         "cd_at_argmin_metric": float(cd[np.argmin(loss)]),
         "cd_increase_steps": int(np.sum(d_cd > 0)),
         "cd_increase_fraction": float(np.mean(d_cd > 0)),
+        "cd_increase_steps_smoothed": int(np.sum(d_cd_s > 0)),
+        "cd_increase_fraction_smoothed": float(np.mean(d_cd_s > 0)),
         "metric_first": float(loss[0]), "metric_last": float(loss[-1]),
         "cd_first": float(cd[0]), "cd_last": float(cd[-1]),
         "curves": {"metric": loss.tolist(), "chamfer": cd.tolist()},
@@ -100,9 +110,11 @@ def main(argv=None):
             "metric_optimum_not_cd_optimum": True,
         },
     }
-    # the two qualitative claims, evaluated on this run
+    # the two qualitative claims, evaluated on this run (the non-monotone
+    # claim on the SMOOTHED curve so per-step resampling noise can't
+    # trivially satisfy it)
     result["claims_hold"] = {
-        "cd_non_monotone": bool(result["cd_increase_steps"] > 0),
+        "cd_non_monotone": bool(result["cd_increase_steps_smoothed"] > 0),
         "metric_optimum_not_cd_optimum": bool(
             result["argmin_cd_step"] != result["argmin_metric_step"]),
     }
