@@ -152,6 +152,7 @@ class TestLossParity:
         assert not bool(valid)
         assert float(loss) == 0.0
 
+    @pytest.mark.slow
     def test_batched_vmap(self, problem):
         n1, n2, lines = problem["neis1"], problem["neis2"], problem["lines"]
         lb, vb = M.intersection_loss_batch(
@@ -208,6 +209,7 @@ class TestLineSampler:
         assert len(np.unique(out[np.any(out != 0, -1)], axis=0)) == nonzero
 
 
+@pytest.mark.slow
 class TestGatherThenTransform:
     """intersection_loss_transformed must equal transforming the neighbor
     array first — value AND gradient (it is a reassociation of the same

@@ -113,6 +113,7 @@ class TestDCPLossComposition:
             "loss_rot_euler_rmse", "loss_gt",
         }
 
+    @pytest.mark.slow
     def test_cycle_weighting(self):
         batch = make_batch()
         B = 2
@@ -131,6 +132,7 @@ class TestDCPLossComposition:
         np.testing.assert_allclose(float(cyc), float(jnp.mean((t_ab + t_ba) ** 2)),
                                    rtol=1e-6)
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         batch = make_batch()
         key = jax.random.PRNGKey(1)
@@ -145,6 +147,7 @@ class TestDCPLossComposition:
         assert np.abs(np.asarray(g)).sum() > 0
 
 
+@pytest.mark.slow
 class TestRPMLossComposition:
     def test_discounts_and_reg(self):
         """losses_intersec[ni] /= num_iter; discount 0.5^(n-ni-1); reg =
@@ -202,6 +205,7 @@ class TestRPMLossComposition:
                                    rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestFMRLossComposition:
     def test_last3_discounted(self):
         """Intersection over iterates maxiter-3..maxiter-1 with
