@@ -61,6 +61,24 @@ class TestFMRConvergence:
         assert f["test_loss_pp_wise"] < 0.1
 
 
+class TestFMRAblations:
+    def test_robustness_modes(self):
+        path = os.path.join(BENCH, "FMR_ABLATIONS.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/fmr_ablations.py")
+        with open(path) as f:
+            d = json.load(f)
+        clean = d["modes"]["clean"]["mean_dm"]
+        noise = d["modes"]["noise"]["mean_dm"]
+        density = d["modes"]["density"]["mean_dm"]
+        assert np.isfinite([clean, noise, density]).all()
+        assert clean < 0.1
+        # the reference's robustness story: 0.01 noise barely moves dm,
+        # halved density degrades gracefully (not catastrophically)
+        assert noise < 2.0 * clean
+        assert density < 5.0 * clean
+
+
 class TestDCPConvergence:
     def test_losses_and_endpoints(self):
         art = _load("dcp")
