@@ -188,20 +188,41 @@ def run(src_vertices, tar_vertices, cfg: ClassicalConfig = ClassicalConfig(),
     n_blocks = -(-cfg.n_epochs // cfg.log_every)
     all_keys = jax.random.split(k_run, cfg.n_epochs)
     done = 0
+    pending = None
     for b in range(n_blocks):
         # the final block runs only the remaining epochs, so params and
         # history always reflect exactly cfg.n_epochs optimizer steps
         block = all_keys[done : min(done + cfg.log_every, cfg.n_epochs)]
         carry, metrics = run_block(carry, block)
         done += block.shape[0]
-        history.append(jax.tree.map(np.asarray, metrics))
+        # keep metrics on device: a per-block fetch is a host sync that costs
+        # ~RTT over a tunneled TPU; everything is pulled once at the end
+        history.append(metrics)
         if callback is not None:
-            params_now = carry[0]
-            last = {k: v[-1] for k, v in history[-1].items()}
-            callback(done, params_now, last, np.asarray(carry[2]))
+            # fire the callback one block late so its device fetch overlaps
+            # the next block's compute instead of serializing with it
+            if pending is not None:
+                _fire_callback(callback, pending)
+            pending = (done, carry[0],
+                       {k: v[-1] for k, v in metrics.items()}, carry[2])
+    if pending is not None:
+        _fire_callback(callback, pending)
     params = carry[0]
+    history = jax.device_get(history)  # one batched sync for every block
     hist = {k: np.concatenate([h[k] for h in history]) for k in history[0]}
     return params, hist
+
+
+def _fire_callback(callback, pending):
+    """Materialize a deferred (epoch, params, last-metrics, src_t) tuple on
+    the host and invoke the user callback.
+
+    One batched ``jax.device_get`` on purpose: each individual fetch over a
+    tunneled TPU costs a full round trip (~30 ms on a slow link), while
+    device_get pipelines every transfer into one sync."""
+    done, params_now, last, src_t = pending
+    params_now, last, src_t = jax.device_get((params_now, last, src_t))
+    callback(done, params_now, last, src_t)
 
 
 def final_transform(params):
@@ -359,13 +380,19 @@ def run_batch(src_batch, tar_batch, cfg: ClassicalConfig = ClassicalConfig(),
     all_keys = jax.random.split(k_run, cfg.n_epochs)
     done = 0
     n_blocks = -(-cfg.n_epochs // cfg.log_every)
+    pending = None
     for b in range(n_blocks):
         block = all_keys[done : min(done + cfg.log_every, cfg.n_epochs)]
         carry, metrics = run_block(carry, block)
         done += block.shape[0]
-        history.append(jax.tree.map(np.asarray, metrics))
+        history.append(metrics)  # device refs; fetched once at the end
         if callback is not None:
-            last = {k: v[-1] for k, v in history[-1].items()}
-            callback(done, carry[0], last, np.asarray(carry[2]))
+            if pending is not None:
+                _fire_callback(callback, pending)
+            pending = (done, carry[0],
+                       {k: v[-1] for k, v in metrics.items()}, carry[2])
+    if pending is not None:
+        _fire_callback(callback, pending)
+    history = jax.device_get(history)  # one batched sync for every block
     hist = {k: np.concatenate([h[k] for h in history]) for k in history[0]}
     return carry[0], hist
