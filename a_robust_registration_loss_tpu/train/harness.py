@@ -144,38 +144,57 @@ class Trainer:
             batch_keys = self._epoch_keys(ekey, train_loader)
             t0 = time.perf_counter()
             agg, n_batches = {}, 0
+
+            def _absorb(device_metrics):
+                # ONE host transfer for the whole metrics dict — per-scalar
+                # float() would block once per metric per batch, which over
+                # a tunneled device dominates small-step training loops
+                for k, v in jax.device_get(device_metrics).items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+
+            # the metrics fetch runs one batch behind the dispatch so its
+            # round trip overlaps the next step's device compute (and the
+            # loader's host-side batch prep) instead of serializing with it
+            pending_metrics = None
             for bi, batch in enumerate(train_loader):
                 sub = (batch_keys[bi] if batch_keys is not None
                        and bi < len(batch_keys)
                        else jax.random.fold_in(ekey, bi))
-                params, opt_state, metrics = self.train_step(
-                    params, opt_state, self._put(batch), sub
+                batch = self._put(batch)
+                if pending_metrics is not None:
+                    _absorb(pending_metrics)
+                params, opt_state, pending_metrics = self.train_step(
+                    params, opt_state, batch, sub
                 )
                 step_idx += 1
                 n_batches += 1
-                # ONE host transfer for the whole metrics dict — per-scalar
-                # float() would block once per metric per batch, which over a
-                # tunneled device dominates small-step training loops
-                metrics = jax.device_get(metrics)
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+            if pending_metrics is not None:
+                _absorb(pending_metrics)
             train_metrics = {k: v / max(n_batches, 1) for k, v in agg.items()}
             self.writer.add_scalars(train_metrics, epoch, prefix="train/")
 
             eval_metrics = {}
             if self.eval_step is not None and test_loader is not None:
                 eagg, m = {}, 0
+
+                def _eabsorb(device_metrics):
+                    for k, v in jax.device_get(device_metrics).items():
+                        eagg[k] = eagg.get(k, 0.0) + float(v)
+
                 eval_keys = self._epoch_keys(
                     jax.random.fold_in(ekey, 1_000_000), test_loader)
+                pending_eval = None  # same one-batch-behind fetch as train
                 for bi, batch in enumerate(test_loader):
                     sub = (eval_keys[bi] if eval_keys is not None
                            and bi < len(eval_keys)
                            else jax.random.fold_in(ekey, 1_000_000 + bi))
-                    metrics = jax.device_get(
-                        self.eval_step(params, self._put(batch), sub))
+                    batch = self._put(batch)
+                    if pending_eval is not None:
+                        _eabsorb(pending_eval)
+                    pending_eval = self.eval_step(params, batch, sub)
                     m += 1
-                    for k, v in metrics.items():
-                        eagg[k] = eagg.get(k, 0.0) + float(v)
+                if pending_eval is not None:
+                    _eabsorb(pending_eval)
                 eval_metrics = {k: v / max(m, 1) for k, v in eagg.items()}
                 self.writer.add_scalars(eval_metrics, epoch, prefix="test/")
 
