@@ -14,6 +14,15 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config route works.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall-clock is dominated by XLA
+# compiles of tiny-shape programs (one CPU core), and those programs are
+# identical across runs. Cache them under /tmp so repeat runs (chunked CI
+# passes, local red-green loops) skip the compiles entirely.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ARRL_TEST_CACHE", "/tmp/arrl_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
