@@ -115,11 +115,22 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
     Carry: (params, opt_state, src_prev) where src_prev is the transformed
     source cloud from the previous epoch (used for the resampler's bbox,
     matching the reference's loop, test_demo...py:47-58).
+
+    ``data`` is pulled to host numpy before the closure forms: compiling a
+    jit that closure-captures a CONCRETE DEVICE array permanently breaks
+    async dispatch pipelining for the whole process on the axon TPU plugin
+    (every later dispatch — of ANY program — serializes at ~1 ms RTT;
+    minimal repro in benchmarks/RESULTS.md). Numpy closure constants lower
+    to HLO literals and are immune.
     """
-    tar = data["tar"]
-    neis_tar = data["neis_tar"]
+    data_np = jax.device_get(data)
 
     def step(carry, key):
+        # numpy -> jnp INSIDE the trace: constants lower as HLO literals
+        # (poison-free) and downstream traced indexing stays on the jnp path
+        data = jax.tree.map(jnp.asarray, data_np)
+        tar = data["tar"]
+        neis_tar = data["neis_tar"]
         params, opt_state, src_prev = carry
         lines = LN.resample_lines(
             key, data["radius"], data["center"], cfg.n_lines, src_prev, tar
@@ -295,11 +306,14 @@ def prepare_pairs(src_batch, tar_batch, cfg: ClassicalConfig):
 def make_batch_step(cfg: ClassicalConfig, data, optimizer):
     """One jitted epoch over B pairs: per-pair line resampling, per-pair
     metric + Adam (masked on invalid pairs). Carry mirrors make_step with a
-    leading batch axis."""
-    tar = data["tar"]
-    neis_tar = data["neis_tar"]
+    leading batch axis. ``data`` goes to host numpy first — device-array
+    closure constants poison axon dispatch pipelining (see make_step)."""
+    data_np = jax.device_get(data)
 
     def step(carry, key):
+        data = jax.tree.map(jnp.asarray, data_np)  # HLO literals, see make_step
+        tar = data["tar"]
+        neis_tar = data["neis_tar"]
         params, opt_state, src_prev = carry  # (B, 6), ..., (B, N, 3)
         B = params.shape[0]
         keys = jax.random.split(key, B)

@@ -338,7 +338,10 @@ def main(argv=None):
         from a_robust_registration_loss_tpu.utils import CheckPointManager
 
         model, optimizer, _, _, _ = make_steps(cfg)
-        batch0 = next(iter(train_loader))
+        # init SHAPES only; the train split can be empty in eval-only runs
+        batch0 = next(iter(train_loader), None)
+        if batch0 is None:
+            batch0 = next(iter(test_loader))
         params = (init_from if init_from is not None else
                   init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0))
         ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))

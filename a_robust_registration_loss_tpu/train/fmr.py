@@ -156,8 +156,11 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
     the mean dm."""
     model, _, _, _, _ = make_steps(cfg)
 
-    def g_of(batch, key):
-        out = model.apply({"params": params}, batch["points_tar_sample"],
+    def g_of(p, batch, key):
+        # params passed as an ARG: closure-capturing device arrays in a jit
+        # poisons axon dispatch pipelining process-wide (train/classical.py
+        # make_step docstring)
+        out = model.apply({"params": p}, batch["points_tar_sample"],
                           batch["points_src_sample"],
                           maxiter=cfg.eval_maxiter)
         return out["g"]
@@ -174,7 +177,7 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
             if add_noise or add_density:
                 batch = ablate_batch(batch, np_rng, add_noise, add_density)
             key, sub = jax.random.split(key)
-            g = g_jit(batch, sub)
+            g = g_jit(params, batch, sub)
             dm, dn = EM.dm_twist_error(g, jnp.asarray(batch["igt"]))
             rows = np.asarray(EM.twist_csv_rows(g, jnp.asarray(batch["igt"])))
             for r in rows:
@@ -278,7 +281,10 @@ def main(argv=None):
         data_path=args.data_path, layout=args.layout, n=args.n_pairs,
         train_batch=args.batch_size, fmr=True, seed=args.seed,
         train_count=args.train_count))
-    batch0 = next(iter(train_loader))
+    # shapes only; the train split can be empty in eval-only runs
+    batch0 = next(iter(train_loader), None)
+    if batch0 is None:
+        batch0 = next(iter(test_loader))
     n_pts = batch0["points_src_sample"].shape[1]
     cfg = FMRTrainConfig(
         lr=args.lr,

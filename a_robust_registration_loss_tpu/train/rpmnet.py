@@ -202,9 +202,11 @@ def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
     model = RPMNetEarlyFusion(cfg.model)
 
     @jax.jit
-    def run_batch(batch):
+    def run_batch(p, batch):
+        # params as an ARG, not a closure: device-array closure constants
+        # poison axon dispatch pipelining (train/classical.py make_step)
         transforms, _ = model.apply(
-            {"params": params},
+            {"params": p},
             batch["points_src_sample"], batch["normals_src"],
             batch["points_tar_sample"], batch["normals_tar"],
             num_iter=cfg.num_eval_reg_iter,
@@ -228,7 +230,7 @@ def evaluate(cfg: RPMTrainConfig, params, test_loader, out_dir: str,
     idx = 0
     for batch in test_loader:
         tf_last, pred_src, gt_src, loss_gt, loss_cd = jax.device_get(
-            run_batch(batch))
+            run_batch(params, batch))
         for b in range(pred_src.shape[0]):
             sum_gt += float(loss_gt[b])
             sum_cd += float(loss_cd[b])
@@ -378,7 +380,11 @@ def main(argv=None):
         import os
 
         (model, optimizer, _, _, _, _) = make_steps(cfg)
-        batch0 = next(iter(train_loader))
+        # batch0 only provides init SHAPES; the train split can be empty or
+        # smaller than the train batch size in an eval-only invocation
+        batch0 = next(iter(train_loader), None)
+        if batch0 is None:
+            batch0 = next(iter(test_loader))
         params = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
         from a_robust_registration_loss_tpu.utils import CheckPointManager
 

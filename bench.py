@@ -72,19 +72,23 @@ def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
 
     out = {}
     for backend in ("xla", "pallas"):
+        # n1/n2/lines as ARGS: closure-captured device arrays poison axon
+        # dispatch pipelining process-wide (train/classical.py make_step) —
+        # and the timed headline block runs in this same process
         @jax.jit
-        def gate_fn(t, _backend=backend):
-            inter = M.find_intersections(n1, lines, kmax=4, backend=_backend)
+        def gate_fn(a, b, ls, t, _backend=backend):
+            inter = M.find_intersections(a, ls, kmax=4, backend=_backend)
 
             def loss_of(tt):
                 return M.intersection_loss_rigid(
-                    jnp.eye(3, dtype=n1.dtype), tt, n1, n2, lines,
+                    jnp.eye(3, dtype=a.dtype), tt, a, b, ls,
                     backend=_backend)[0]
 
             loss, grad = jax.value_and_grad(loss_of)(t)
             return inter, loss, grad
 
-        inter1, loss, grad = gate_fn(jnp.full((3,), 0.01, n1.dtype))
+        inter1, loss, grad = gate_fn(n1, n2, lines,
+                                     jnp.full((3,), 0.01, n1.dtype))
         out[backend] = (jax.device_get(inter1), float(loss),
                         np.asarray(grad))
 

@@ -69,19 +69,21 @@ def main():
 
     lc = None if args.line_chunk <= 0 else args.line_chunk
 
-    def loss_fn(n1):
+    # n2/lines as ARGS (closure-captured device arrays serialize axon
+    # dispatch process-wide; see benchmarks/RESULTS.md)
+    def loss_fn(n1, n2, lines):
         losses, valid = M.intersection_loss_batch(
             n1, n2, lines, line_chunk=lc, backend=backend)
         return jnp.where(valid, losses, 0.0).mean()
 
     fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
-    loss, g = fwd_bwd(n1)
+    loss, g = fwd_bwd(n1, n2, lines)
     jax.block_until_ready(g)
     assert np.isfinite(float(loss)), f"loss not finite: {loss}"
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        loss, g = fwd_bwd(n1)
+        loss, g = fwd_bwd(n1, n2, lines)
     jax.block_until_ready(g)
     dt = (time.perf_counter() - t0) / args.iters
 

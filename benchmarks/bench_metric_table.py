@@ -88,25 +88,28 @@ def main():
         bbox = G.bounding_box_corners(tar[None])[0]
         radius = jnp.linalg.norm(bbox[0] - bbox[-1])
 
-        f_sam = jax.jit(lambda k: LN.resample_lines(k, radius, center,
-                                                    n_lines, src, tar))
+        # all device arrays are ARGS: a closure-captured device array in any
+        # jit permanently serializes axon dispatch (~1 ms/call) and inflated
+        # every round-1 number in this table (benchmarks/RESULTS.md)
+        f_sam = jax.jit(lambda k, rr, cc, s, t: LN.resample_lines(
+            k, rr, cc, n_lines, s, t))
         key = jax.random.PRNGKey(0)
-        t_sam = timeit(f_sam, key)
-        lines = f_sam(key)
+        t_sam = timeit(f_sam, key, radius, center, src, tar)
+        lines = f_sam(key, radius, center, src, tar)
 
-        f_fwd = jax.jit(lambda l: M.intersection_loss(
-            neis1, neis2, l, backend=args.backend)[0])
-        t_fwd = timeit(f_fwd, lines)
+        f_fwd = jax.jit(lambda a, b, l: M.intersection_loss(
+            a, b, l, backend=args.backend)[0])
+        t_fwd = timeit(f_fwd, neis1, neis2, lines)
 
         twist = jnp.asarray([0.03, -0.02, 0.04, 0.01, 0.0, -0.02])
 
-        def loss_of(p, l):
+        def loss_of(p, a, b, l):
             R, t = se3.exp3(p)
-            return M.intersection_loss_rigid(R, t, neis1, neis2, l,
+            return M.intersection_loss_rigid(R, t, a, b, l,
                                              backend=args.backend)[0]
 
         f_grad = jax.jit(jax.value_and_grad(loss_of))
-        t_grad = timeit(f_grad, twist, lines)
+        t_grad = timeit(f_grad, twist, neis1, neis2, lines)
 
         speedup = (ref_inter / t_fwd) if ref_inter else None
         rows.append({"pts": n_pts, "lines": n_lines,

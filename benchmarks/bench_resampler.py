@@ -69,29 +69,48 @@ def main(argv=None):
     fvs1 = G.bbox_face_vertices(v1[None])[0]
     fvs2 = G.bbox_face_vertices(v2[None])[0]
 
-    sample = jax.jit(lambda k: LN.sample_lines(k, r, center, C))
-    cand = sample(key)
-    hits = jax.jit(lambda c: (LN.triangle_hits(fvs1, c) > 0)
-                   & (LN.triangle_hits(fvs2, c) > 0))
-    ok = hits(cand)
+    # every device array is an ARG (not a closure constant): compiling a jit
+    # with a closure-captured concrete device array permanently serializes
+    # async dispatch on the axon plugin (~1 ms/dispatch) and inflated every
+    # number this bench recorded in round 1 (see benchmarks/RESULTS.md)
+    sample = jax.jit(lambda k, rr, cc: LN.sample_lines(k, rr, cc, C))
+    cand = sample(key, r, center)
+    hits = jax.jit(lambda f1, f2, c: (LN.triangle_hits(f1, c) > 0)
+                   & (LN.triangle_hits(f2, c) > 0))
+    ok = hits(fvs1, fvs2, cand)
 
     fill_a = jax.jit(lambda c, o: LN._fill_first_n(c, o, args.n_lines))
     fill_b = jax.jit(lambda c, o: LN._fill_first_n_gather(c, o, args.n_lines))
     la, lb = fill_a(cand, ok), fill_b(cand, ok)
     assert np.array_equal(np.asarray(la), np.asarray(lb)), "fill variants differ"
 
-    full = jax.jit(lambda k: LN.resample_lines(k, r, center, args.n_lines,
-                                               v1, v2))
+    full = jax.jit(lambda k, rr, cc, a, b: LN.resample_lines(
+        k, rr, cc, args.n_lines, a, b))
+
+    # DEVICE time via one scanned dispatch per entry (benchmarks/_timing.py)
+    # — per-dispatch wall timing over the axon tunnel reads ~1 ms of host
+    # RTT for everything once any fetch has happened in the process
+    from _timing import device_ms
 
     out = {
         "n_lines": args.n_lines,
         "candidates": C,
         "acceptance": float(np.mean(np.asarray(ok))),
-        "ms_sample": timeit(sample, key),
-        "ms_hits": timeit(hits, cand),
-        "ms_fill_sort7": timeit(fill_a, cand, ok),
-        "ms_fill_sort2_gather": timeit(fill_b, cand, ok),
-        "ms_full_resample": timeit(full, key),
+        "ms_sample": device_ms(
+            lambda k, rr, cc: LN.sample_lines(k, rr, cc, C), key, r, center),
+        "ms_hits": device_ms(
+            lambda f1, f2, c: (LN.triangle_hits(f1, c) > 0)
+            & (LN.triangle_hits(f2, c) > 0), fvs1, fvs2, cand),
+        "ms_fill_sort7": device_ms(
+            lambda c, o: LN._fill_first_n(c, o, args.n_lines), cand, ok),
+        "ms_fill_sort2_gather": device_ms(
+            lambda c, o: LN._fill_first_n_gather(c, o, args.n_lines),
+            cand, ok),
+        "ms_full_resample": device_ms(
+            lambda k, rr, cc, a, b: LN.resample_lines(
+                k, rr, cc, args.n_lines, a, b), key, r, center, v1, v2),
+        "ms_full_resample_wall_per_dispatch": timeit(full, key, r, center,
+                                                     v1, v2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out, indent=1))
