@@ -174,14 +174,17 @@ def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
     """Both clouds' stage 1 in ONE kernel dispatch (the common case: every
     metric evaluation needs both sides against the same lines).
 
-    Mode selection, measured at L=20k / F=2048 on one v5e chip:
+    Mode selection:
     - emit_recon=False (the gather paths, which only need weights):
-      d2-only pair = 1.21 ms — vs 2 x 1.14 ms single dispatches.
-    - emit_recon=True (the rigid fast path, which only needs the in-kernel
-      reconstruction): recon-only pair = 1.77 ms; the alternative of
-      emitting raw per-slot coords and reconstructing outside (emit_pts)
-      measured 2.06 ms — the 36 extra per-slot reductions cost more than
-      the dense weight math they avoid, so the kernel keeps recon inline.
+      d2-only pair — one dispatch instead of two.
+    - emit_recon=True (the rigid fast path): the kernel emits raw distances
+      AND the exact per-slot gathered coordinates (emit_pts — one MXU
+      matmul per slot, round-3 kernel), and the weighted reconstruction is
+      formed outside on the <= kmax slots. This replaced the round-2
+      in-kernel dense reconstruction (emit_recon), which paid the
+      per-(face, line) sqrt/divide weight math on the whole tile; it also
+      makes the pallas recon arithmetically identical to the XLA glue
+      (exact gathers + the same slot-level weight ops).
     """
     from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
 
@@ -191,8 +194,9 @@ def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
     d2 = neighborhood_delta(jax.lax.stop_gradient(point_neis2))
     out1, out2 = PK.intersect_stage1_pair(point_neis1, point_neis2, lines,
                                           d1, d2,
-                                          emit_d2=not emit_recon,
-                                          emit_recon=emit_recon,
+                                          emit_d2=True,
+                                          emit_recon=False,
+                                          emit_pts=emit_recon,
                                           interpret=interpret)
     return (_pallas_outputs_to_inter(point_neis1, out1),
             _pallas_outputs_to_inter(point_neis2, out2))

@@ -88,7 +88,7 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
     @pl.when(j == 0)
     def _init():
         cnt_acc[:] = jnp.zeros_like(cnt_acc)
-        idx_acc[:] = jnp.full_like(idx_acc, 2**30)
+        idx_acc[:] = jnp.zeros_like(idx_acc)
         if emit_d2:
             d_acc[:] = jnp.zeros_like(d_acc)
         if emit_recon:
@@ -135,39 +135,59 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
 
     hits = label.astype(jnp.float32)  # (TF, TL)
     # inclusive prefix-sum over faces via one MXU matmul with a lower-
-    # triangular mask; binary inputs keep fp32 accumulation exact.
+    # triangular mask, in bfloat16: 0/1 values are exact in bf16 and the
+    # fp32 accumulation of <= TF binary products is exact, at 4x the fp32
+    # MXU throughput.
     row = jax.lax.broadcasted_iota(jnp.int32, (TF, TF), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (TF, TF), 1)
-    tri = (row >= col).astype(jnp.float32)
-    csum = jnp.dot(tri, hits, preferred_element_type=jnp.float32)  # (TF, TL)
+    tri = (row >= col).astype(jnp.bfloat16)
+    csum = jnp.dot(tri, hits.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)  # (TF, TL)
     rank = csum - hits + cnt_acc[0, :][None, :]  # exclusive rank + carry
 
     face_ids = (j * TF + jax.lax.broadcasted_iota(jnp.int32, (TF, TL), 0)).astype(
         jnp.float32
     )
 
+    if emit_pts:
+        # per-slot gathered coordinates as ONE MXU matmul per slot:
+        # out[q, l] = sum_f A[q, f] * m[f, l] with A = [9 neighbor coords;
+        # face id] — m is one-hot over f per line, so the product is an
+        # EXACT gather (fp32 accumulation of zeros plus one addend), and the
+        # contraction rides the MXU instead of 10 VPU reduces per slot.
+        f_row = (j * TF
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, TF), 1)
+                 ).astype(jnp.float32)
+        A = jnp.concatenate([p_ref[0:9, :], f_row], axis=0)  # (10, TF)
+
+    # Slot accumulation is pure +=: each (slot, line) receives a nonzero
+    # one-hot contribution from at most ONE face across the entire sweep
+    # (the rank carries across face tiles), so adding the masked reduces is
+    # equivalent to the select-and-hold update, minus the `got` reduce and
+    # the where selects. Empty slots accumulate 0; slot_idx's 2**30 empty
+    # sentinel is re-applied outside the kernel from `count` (slots fill in
+    # rank order, so slot s is occupied iff s < count).
     for s in range(KMAX):
         m = hits * (jnp.abs(rank - s) < 0.5)  # one-hot over faces per line
-        got = jnp.sum(m, axis=0)  # (TL,) 0/1
-        idx_s = jnp.sum(m * face_ids, axis=0)
-        take = got > 0.5
-        idx_acc[s, :] = jnp.where(take, idx_s.astype(jnp.int32), idx_acc[s, :])
+        if emit_pts:
+            # HIGHEST precision: the default fp32 matmul runs as bf16 MXU
+            # passes and rounds the gathered coordinates (~1e-3) — caught by
+            # the on-chip gate; the 3-pass fp32 product keeps the gather
+            # exact and is still negligible MXU work next to the rank matmul
+            out = jnp.dot(A, m, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # (10, TL)
+            for q in range(9):
+                p_acc[s * 9 + q, :] += out[q, :]
+            idx_acc[s, :] += out[9, :].astype(jnp.int32)
+        else:
+            idx_s = jnp.sum(m * face_ids, axis=0)
+            idx_acc[s, :] += idx_s.astype(jnp.int32)
         if emit_d2:
             for i in range(NNEI):
-                v = jnp.sum(m * d2[i], axis=0)
-                d_acc[s * NNEI + i, :] = jnp.where(take, v,
-                                                   d_acc[s * NNEI + i, :])
+                d_acc[s * NNEI + i, :] += jnp.sum(m * d2[i], axis=0)
         if emit_recon:
             for c in range(3):
-                r = jnp.sum(m * wp[c], axis=0)
-                r_acc[s * 3 + c, :] = jnp.where(take, r, r_acc[s * 3 + c, :])
-        if emit_pts:
-            # raw gathered neighbor coords: the consumer forms the weights
-            # and the weighted reconstruction outside the kernel, skipping
-            # the dense per-(face, line) wp math entirely
-            for q in range(9):
-                v = jnp.sum(m * p_ref[q, :][:, None], axis=0)
-                p_acc[s * 9 + q, :] = jnp.where(take, v, p_acc[s * 9 + q, :])
+                r_acc[s * 3 + c, :] += jnp.sum(m * wp[c], axis=0)
 
     cnt_acc[0, :] += jnp.sum(hits, axis=0).astype(jnp.int32)
 
@@ -270,7 +290,13 @@ def _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=None, Lp=None):
     lo = 0 if cloud is None else cloud * Lp
 
     count = outs.pop(0)[0, lo:lo + L]
+    # the kernel accumulates slot ids with +=, so empty slots hold 0; slots
+    # fill in rank order, so occupancy is exactly s < count — re-apply the
+    # 2**30 empty sentinel here
     slot_idx = outs.pop(0)[:, lo:lo + L].T
+    slot_idx = jnp.where(
+        jnp.arange(KMAX)[None, :] < jnp.minimum(count, KMAX)[:, None],
+        slot_idx, 2**30)
     slot_d2 = None
     slot_recon = None
     slot_pts = None
