@@ -137,7 +137,8 @@ def _fill_first_n_gather(cand, ok, n):
 
 
 def resample_lines(key, r, center, n: int, vertices1, vertices2,
-                   rounds: int = 10, fast_rounds: int = 10):
+                   rounds: int = 10, fast_rounds: int = 10,
+                   backend: str = "xla", interpret: bool = False):
     """Rejection resampling of n lines hitting both clouds' AABB meshes
     (reference: loss.py:415-432; 10 rounds is the reference's budget).
 
@@ -155,14 +156,32 @@ def resample_lines(key, r, center, n: int, vertices1, vertices2,
     demo geometry is only ~6% (radius = full bbox diagonal makes the sphere
     much bigger than the clouds — even the reference's 10-round budget fills
     only ~63% of its buffer), so the shortfall branch would always run. Set
-    fast_rounds < rounds for high-acceptance workloads (tight radii)."""
+    fast_rounds < rounds for high-acceptance workloads (tight radii).
+
+    ``backend="pallas"`` runs the candidate stage (sphere sampling + the
+    24-triangle rejection test) as one fused TPU kernel
+    (ops/pallas/resample.py) fed by the SAME ``jax.random`` uniform draw —
+    identical distribution; boundary candidates can flip acceptance by
+    Mosaic-vs-XLA transcendental ulps (bitwise-identical in interpret
+    mode). The fill is shared."""
     fvs1 = G.bbox_face_vertices(vertices1[None])[0]  # (12, 9)
     fvs2 = G.bbox_face_vertices(vertices2[None])[0]
 
-    def draw(k, total):
-        cand = sample_lines(k, r, center, total)
-        ok = (triangle_hits(fvs1, cand) > 0) & (triangle_hits(fvs2, cand) > 0)
-        return cand, ok
+    if backend == "pallas":
+        from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+        fv_prep = PR.prep_faces(fvs1, fvs2)
+
+        def draw(k, total):
+            u4 = jax.random.uniform(k, (4, total))  # same stream as XLA path
+            return PR.sample_and_hit(u4, r, center, fv_prep,
+                                     interpret=interpret)
+    else:
+        def draw(k, total):
+            cand = sample_lines(k, r, center, total)
+            ok = ((triangle_hits(fvs1, cand) > 0)
+                  & (triangle_hits(fvs2, cand) > 0))
+            return cand, ok
 
     if fast_rounds >= rounds:
         cand, ok = draw(key, rounds * n)

@@ -133,7 +133,8 @@ def make_step(cfg: ClassicalConfig, data, optimizer):
         neis_tar = data["neis_tar"]
         params, opt_state, src_prev = carry
         lines = LN.resample_lines(
-            key, data["radius"], data["center"], cfg.n_lines, src_prev, tar
+            key, data["radius"], data["center"], cfg.n_lines, src_prev, tar,
+            backend=cfg.backend,
         )
 
         def loss_fn(p):
@@ -318,7 +319,8 @@ def make_batch_step(cfg: ClassicalConfig, data, optimizer):
         B = params.shape[0]
         keys = jax.random.split(key, B)
         lines = jax.vmap(
-            lambda k, r, c, s, t: LN.resample_lines(k, r, c, cfg.n_lines, s, t)
+            lambda k, r, c, s, t: LN.resample_lines(k, r, c, cfg.n_lines, s, t,
+                                                    backend=cfg.backend)
         )(keys, data["radius"], data["center"], src_prev, tar)
 
         def loss_fn(ps):

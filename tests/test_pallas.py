@@ -321,3 +321,76 @@ class TestPairKernelAndEmitModes:
             np.where(filled[..., None], recon_out, 0.0),
             np.where(filled[..., None], recon_in, 0.0),
             rtol=1e-4, atol=1e-5)
+
+
+class TestResampleKernel:
+    """The fused sample+hit candidate kernel (ops/pallas/resample.py),
+    interpret mode. Bitwise parity with the XLA path is NOT a goal: the
+    barycentric acceptance test compares A+B+C against S where equality
+    holds exactly in real arithmetic for interior hits, so the label is
+    rounding-determined on EVERY implementation (the torch reference
+    included) — only the sampling measure is contractual."""
+
+    def _setup(self, seed=5, n_pts=300):
+        rng = np.random.default_rng(seed)
+        v1 = jnp.asarray(_sphere_cloud(n_pts, rng, noise=0.05))
+        v2 = jnp.asarray(_sphere_cloud(n_pts, rng, noise=0.05)) + 0.1
+        fvs1 = G.bbox_face_vertices(v1[None])[0]
+        fvs2 = G.bbox_face_vertices(v2[None])[0]
+        return v1, v2, fvs1, fvs2
+
+    def test_candidate_geometry_and_acceptance(self):
+        from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+        v1, v2, fvs1, fvs2 = self._setup()
+        key = jax.random.PRNGKey(11)
+        C = 4000
+        u4 = jax.random.uniform(key, (4, C))
+        cand_x = L.sample_lines(key, jnp.float32(2.2), v2.mean(0), C)
+        ok_x = ((L.triangle_hits(fvs1, cand_x) > 0)
+                & (L.triangle_hits(fvs2, cand_x) > 0))
+        fv = PR.prep_faces(fvs1, fvs2)
+        cand_p, ok_p = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0),
+                                         fv, tc=1024, interpret=True)
+        # same uniforms -> same candidate geometry (up to trig ulps)
+        np.testing.assert_allclose(np.asarray(cand_p), np.asarray(cand_x),
+                                   rtol=1e-5, atol=1e-5)
+        # same sampling measure -> acceptance rates agree closely
+        ax, ap = float(jnp.mean(ok_x)), float(jnp.mean(ok_p))
+        assert abs(ax - ap) < 0.05 * max(ax, 0.02), (ax, ap)
+
+    def test_resample_lines_pallas_fill_semantics(self):
+        """backend='pallas' output == first-n-accepted of the kernel's own
+        candidate stream (the shared fill), deterministic per key."""
+        from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+        v1, v2, fvs1, fvs2 = self._setup()
+        key = jax.random.PRNGKey(4)
+        n, rounds = 256, 10
+        out = L.resample_lines(key, jnp.float32(2.2), v2.mean(0), n, v1, v2,
+                               backend="pallas", interpret=True)
+        out2 = L.resample_lines(key, jnp.float32(2.2), v2.mean(0), n, v1, v2,
+                                backend="pallas", interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+        fv = PR.prep_faces(fvs1, fvs2)
+        u4 = jax.random.uniform(key, (4, rounds * n))
+        cand, ok = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0), fv,
+                                     tc=1024, interpret=True)
+        kept = np.asarray(cand)[np.asarray(ok)][:n]
+        expect = np.zeros((n, 6), np.float32)
+        expect[: len(kept)] = kept
+        np.testing.assert_array_equal(np.asarray(out), expect)
+
+    def test_padded_tail_rejected(self):
+        """Candidates beyond C (tile padding) must never be accepted."""
+        from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+        v1, v2, fvs1, fvs2 = self._setup()
+        fv = PR.prep_faces(fvs1, fvs2)
+        C = 700  # NOT a multiple of the tile
+        u4 = jax.random.uniform(jax.random.PRNGKey(9), (4, C))
+        cand, ok = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0), fv,
+                                     tc=512, interpret=True)
+        assert cand.shape == (C, 6) and ok.shape == (C,)
+        assert int(jnp.sum(ok)) > 0
