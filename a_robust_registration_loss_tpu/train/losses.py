@@ -72,7 +72,7 @@ class LossConfig:
 
 
 def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,
-                radius_scale: float, mesh=None):
+                radius_scale: float, mesh=None, backend: str = "xla"):
     """Per-batch line resampling: radius_scale * ||tar_box[0] - tar_box[-1]||
     per sample, vmapped over the batch (the reference's batched
     Random_uniform_distribution_lines_batch_efficient_resample call sites).
@@ -100,7 +100,8 @@ def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,
 
     def produce(keys, radius, centers, v1, v2):
         return jax.vmap(
-            lambda k, r, c, a, b: LN.resample_lines(k, r, c, n_lines, a, b)
+            lambda k, r, c, a, b: LN.resample_lines(k, r, c, n_lines, a, b,
+                                                    backend=backend)
         )(keys, radius, centers, v1, v2)
 
     if mesh is None:
@@ -172,7 +173,8 @@ def dcp_cal_loss(data, R_ab, t_ab, key, cfg: LossConfig = LossConfig()):
     tar_neis = _flat_neis(data["points_based_neighs_tar"])
 
     lines = batch_lines(key, data["tar_box"], data["centers"], cfg.n_lines,
-                        pred_src, tar, radius_scale=0.5, mesh=cfg.mesh)
+                        pred_src, tar, radius_scale=0.5, mesh=cfg.mesh,
+                        backend=cfg.backend)
     # column-convention (R p + t) == row form p @ R^T + t
     per_sample = _metric_batch_rt(jnp.swapaxes(R_ab, -1, -2), t_ab,
                                   src_neis_raw, tar_neis, lines, cfg) / 5.0
@@ -260,7 +262,7 @@ def rpm_cal_loss(pred_transforms: Sequence[jax.Array],
             # full diagonal radius — no 0.5 (Train_RPM.py:203-205)
             lines = batch_lines(key, data["tar_box"], data["centers"],
                                 cfg.n_lines, pred_src, tar, radius_scale=1.0,
-                                mesh=cfg.mesh)
+                                mesh=cfg.mesh, backend=cfg.backend)
         inter = jnp.sum(_metric_batch_rt(
             jnp.swapaxes(g[..., :3, :3], -1, -2), g[..., :3, 3],
             src_neis_raw, tar_neis, lines, cfg))
@@ -326,7 +328,8 @@ def fmr_train_loss(g_series, loss_ende, data, key,
     g_last = jax.lax.stop_gradient(g_series[maxiter - 1])
     pred_src_last = se3.transform(g_last[:, None], src)
     lines = batch_lines(key, data["tar_box"], data["centers"], cfg.n_lines,
-                        pred_src_last, tar, radius_scale=0.5, mesh=cfg.mesh)
+                        pred_src_last, tar, radius_scale=0.5, mesh=cfg.mesh,
+                        backend=cfg.backend)
 
     loss_inter = 0.0
     pred_src = pred_src_last

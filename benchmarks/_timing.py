@@ -56,8 +56,23 @@ def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
     jloop = jax.jit(loop)
     z = jnp.float32(0.0)
     eps = jnp.float32(0.0)
+
+    # The axon plugin's block_until_ready returns EARLY until the process
+    # has performed a synchronous device->host fetch (after which every
+    # dispatch serializes at ~RTT instead — both documented in
+    # benchmarks/RESULTS.md). So: force sync mode with a fetch, bracket the
+    # timed region with a fetch of the carry (true completion), and
+    # subtract one measured fetch RTT.
+    float(jloop(z, eps, *args))  # warmup + compile + enter sync mode
     if warmup:
-        jax.block_until_ready(jloop(z, eps, *args))
+        float(jloop(z, eps, *args))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(z + 0.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[1]
     t0 = time.perf_counter()
-    jax.block_until_ready(jloop(z, eps, *args))
-    return (time.perf_counter() - t0) / iters * 1000.0
+    float(jloop(z, eps, *args))
+    wall = time.perf_counter() - t0
+    return max(wall - rtt, 0.0) / iters * 1000.0

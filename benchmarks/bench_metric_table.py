@@ -19,6 +19,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -88,18 +89,24 @@ def main():
         bbox = G.bounding_box_corners(tar[None])[0]
         radius = jnp.linalg.norm(bbox[0] - bbox[-1])
 
-        # all device arrays are ARGS: a closure-captured device array in any
-        # jit permanently serializes axon dispatch (~1 ms/call) and inflated
-        # every round-1 number in this table (benchmarks/RESULTS.md)
-        f_sam = jax.jit(lambda k, rr, cc, s, t: LN.resample_lines(
-            k, rr, cc, n_lines, s, t))
-        key = jax.random.PRNGKey(0)
-        t_sam = timeit(f_sam, key, radius, center, src, tar)
-        lines = f_sam(key, radius, center, src, tar)
+        # DEVICE time via one scanned dispatch per entry (_timing.device_ms):
+        # per-dispatch wall over the axon tunnel conflates device time with
+        # a ~1 ms serialized-dispatch RTT once anything has been fetched in
+        # the process, which inflated every round-1/2 number in this table
+        # (benchmarks/RESULTS.md "Axon dispatch-pipelining poison")
+        from _timing import device_ms
 
-        f_fwd = jax.jit(lambda a, b, l: M.intersection_loss(
-            a, b, l, backend=args.backend)[0])
-        t_fwd = timeit(f_fwd, neis1, neis2, lines)
+        key = jax.random.PRNGKey(0)
+        t_sam = device_ms(
+            lambda k, rr, cc, s, t: LN.resample_lines(
+                k, rr, cc, n_lines, s, t, backend=args.backend),
+            key, radius, center, src, tar)
+        lines = LN.resample_lines(key, radius, center, n_lines, src, tar,
+                                  backend=args.backend)
+
+        t_fwd = device_ms(
+            lambda a, b, l: M.intersection_loss(
+                a, b, l, backend=args.backend)[0], neis1, neis2, lines)
 
         twist = jnp.asarray([0.03, -0.02, 0.04, 0.01, 0.0, -0.02])
 
@@ -108,8 +115,8 @@ def main():
             return M.intersection_loss_rigid(R, t, a, b, l,
                                              backend=args.backend)[0]
 
-        f_grad = jax.jit(jax.value_and_grad(loss_of))
-        t_grad = timeit(f_grad, twist, neis1, neis2, lines)
+        t_grad = device_ms(jax.value_and_grad(loss_of),
+                           twist, neis1, neis2, lines)
 
         speedup = (ref_inter / t_fwd) if ref_inter else None
         rows.append({"pts": n_pts, "lines": n_lines,
