@@ -159,10 +159,8 @@ def _find_intersections_pallas(point_neis, lines, kmax: int,
     ~0.4 ms per cloud at L=20k on TPU."""
     from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
 
-    if kmax != PK.KMAX:
-        raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
     delta = neighborhood_delta(jax.lax.stop_gradient(point_neis))
-    outputs = PK.intersect_stage1(point_neis, lines, delta,
+    outputs = PK.intersect_stage1(point_neis, lines, delta, kmax=kmax,
                                   emit_recon=emit_recon,
                                   interpret=interpret)
     return _pallas_outputs_to_inter(point_neis, outputs)
@@ -188,12 +186,10 @@ def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
     """
     from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
 
-    if kmax != PK.KMAX:
-        raise ValueError(f"pallas backend is compiled for kmax={PK.KMAX}")
     d1 = neighborhood_delta(jax.lax.stop_gradient(point_neis1))
     d2 = neighborhood_delta(jax.lax.stop_gradient(point_neis2))
     out1, out2 = PK.intersect_stage1_pair(point_neis1, point_neis2, lines,
-                                          d1, d2,
+                                          d1, d2, kmax=kmax,
                                           emit_d2=True,
                                           emit_recon=False,
                                           emit_pts=emit_recon,

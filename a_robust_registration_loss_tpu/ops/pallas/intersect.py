@@ -45,15 +45,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NNEI = 3
-KMAX = 4
+KMAX = 4  # default slot capacity (every reference call site uses (1,1,5,5))
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
-            emit_recon: bool, emit_pts: bool):
+def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
+            emit_d2: bool, emit_recon: bool, emit_pts: bool):
     """Grid: (..., line_tiles, face_tiles); the face tile index (grid axis
     ``face_axis``, always last) advances fastest, so the per-line
     accumulators in VMEM scratch carry across the F sweep. Any leading grid
@@ -167,7 +167,7 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, emit_d2: bool,
     # the where selects. Empty slots accumulate 0; slot_idx's 2**30 empty
     # sentinel is re-applied outside the kernel from `count` (slots fill in
     # rank order, so slot s is occupied iff s < count).
-    for s in range(KMAX):
+    for s in range(kmax):
         m = hits * (jnp.abs(rank - s) < 0.5)  # one-hot over faces per line
         if emit_pts:
             # HIGHEST precision: the default fp32 matmul runs as bf16 MXU
@@ -226,7 +226,8 @@ def _pack_lines(lines, Lp):
     return l_packed
 
 
-def _specs_and_shapes(n_cloud, tl, tf, Lp, emit_d2, emit_recon, emit_pts):
+def _specs_and_shapes(n_cloud, tl, tf, Lp, kmax, emit_d2, emit_recon,
+                      emit_pts):
     """(in_specs, out_specs, out_shapes, scratch) for a grid whose last two
     axes are (line_tiles, face_tiles); ``n_cloud`` adds a leading (slowest)
     cloud grid axis (0 = none, i.e. the single-cloud call). The paired
@@ -264,25 +265,26 @@ def _specs_and_shapes(n_cloud, tl, tf, Lp, emit_d2, emit_recon, emit_pts):
         def out_shape(rows, dtype):
             return jax.ShapeDtypeStruct((rows, Lp), dtype)
 
-    out_specs = [out_spec(1), out_spec(KMAX)]
-    out_shapes = [out_shape(1, jnp.int32), out_shape(KMAX, jnp.int32)]
-    scratch = [pltpu.VMEM((1, tl), jnp.int32), pltpu.VMEM((KMAX, tl), jnp.int32)]
+    out_specs = [out_spec(1), out_spec(kmax)]
+    out_shapes = [out_shape(1, jnp.int32), out_shape(kmax, jnp.int32)]
+    scratch = [pltpu.VMEM((1, tl), jnp.int32), pltpu.VMEM((kmax, tl), jnp.int32)]
     if emit_d2:
-        out_specs.append(out_spec(KMAX * NNEI))
-        out_shapes.append(out_shape(KMAX * NNEI, jnp.float32))
-        scratch.append(pltpu.VMEM((KMAX * NNEI, tl), jnp.float32))
+        out_specs.append(out_spec(kmax * NNEI))
+        out_shapes.append(out_shape(kmax * NNEI, jnp.float32))
+        scratch.append(pltpu.VMEM((kmax * NNEI, tl), jnp.float32))
     if emit_recon:
-        out_specs.append(out_spec(KMAX * 3))
-        out_shapes.append(out_shape(KMAX * 3, jnp.float32))
-        scratch.append(pltpu.VMEM((KMAX * 3, tl), jnp.float32))
+        out_specs.append(out_spec(kmax * 3))
+        out_shapes.append(out_shape(kmax * 3, jnp.float32))
+        scratch.append(pltpu.VMEM((kmax * 3, tl), jnp.float32))
     if emit_pts:
-        out_specs.append(out_spec(KMAX * 9))
-        out_shapes.append(out_shape(KMAX * 9, jnp.float32))
-        scratch.append(pltpu.VMEM((KMAX * 9, tl), jnp.float32))
+        out_specs.append(out_spec(kmax * 9))
+        out_shapes.append(out_shape(kmax * 9, jnp.float32))
+        scratch.append(pltpu.VMEM((kmax * 9, tl), jnp.float32))
     return [line_spec, face_spec], out_specs, out_shapes, scratch
 
 
-def _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=None, Lp=None):
+def _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=None,
+            Lp=None):
     """Kernel outputs -> (count (L,), slot_idx (L, KMAX), slot_d2 or None,
     slot_recon or None, slot_pts or None), optionally slicing a cloud of
     the paired call (whose outputs stack the clouds along the line axis)."""
@@ -295,24 +297,25 @@ def _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=None, Lp=None):
     # 2**30 empty sentinel here
     slot_idx = outs.pop(0)[:, lo:lo + L].T
     slot_idx = jnp.where(
-        jnp.arange(KMAX)[None, :] < jnp.minimum(count, KMAX)[:, None],
+        jnp.arange(kmax)[None, :] < jnp.minimum(count, kmax)[:, None],
         slot_idx, 2**30)
     slot_d2 = None
     slot_recon = None
     slot_pts = None
     if emit_d2:
-        slot_d2 = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, NNEI)
+        slot_d2 = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, NNEI)
     if emit_recon:
-        slot_recon = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, 3)
+        slot_recon = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, 3)
     if emit_pts:
-        slot_pts = outs.pop(0)[:, lo:lo + L].T.reshape(L, KMAX, NNEI, 3)
+        slot_pts = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, NNEI, 3)
     return count, slot_idx, slot_d2, slot_recon, slot_pts
 
 
-@functools.partial(jax.jit, static_argnames=("tl", "tf", "emit_d2",
+@functools.partial(jax.jit, static_argnames=("kmax", "tl", "tf", "emit_d2",
                                              "emit_recon", "emit_pts",
                                              "interpret"))
-def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048,
+def intersect_stage1(point_neis, lines, delta, *, kmax: int = KMAX,
+                     tl: int = 2048,
                      tf: int = 256, emit_d2: bool = True,
                      emit_recon: bool = True, emit_pts: bool = False,
                      interpret: bool = False):
@@ -334,10 +337,10 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048,
     Lp = _round_up(L, tl)
 
     in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
-        0, tl, tf, Lp, emit_d2, emit_recon, emit_pts)
+        0, tl, tf, Lp, kmax, emit_d2, emit_recon, emit_pts)
     grid = (Lp // tl, Fp // tf)
     outs = pl.pallas_call(
-        functools.partial(_kernel, face_axis=1, emit_d2=emit_d2,
+        functools.partial(_kernel, face_axis=1, kmax=kmax, emit_d2=emit_d2,
                           emit_recon=emit_recon, emit_pts=emit_pts),
         grid=grid,
         in_specs=in_specs,
@@ -346,13 +349,14 @@ def intersect_stage1(point_neis, lines, delta, *, tl: int = 2048,
         scratch_shapes=scratch,
         interpret=interpret,
     )(_pack_lines(lines, Lp), _pack_faces(point_neis, delta, Fp))
-    return _unpack(outs, L, emit_d2, emit_recon, emit_pts)
+    return _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts)
 
 
-@functools.partial(jax.jit, static_argnames=("tl", "tf", "emit_d2",
+@functools.partial(jax.jit, static_argnames=("kmax", "tl", "tf", "emit_d2",
                                              "emit_recon", "emit_pts",
                                              "interpret"))
 def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
+                          kmax: int = KMAX,
                           tl: int = 2048, tf: int = 256, emit_d2: bool = True,
                           emit_recon: bool = True, emit_pts: bool = False,
                           interpret: bool = False):
@@ -376,10 +380,10 @@ def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
                          _pack_faces(point_neis2, delta2, Fp)])  # (32, Fp)
 
     in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
-        2, tl, tf, Lp, emit_d2, emit_recon, emit_pts)
+        2, tl, tf, Lp, kmax, emit_d2, emit_recon, emit_pts)
     grid = (2, Lp // tl, Fp // tf)
     outs = pl.pallas_call(
-        functools.partial(_kernel, face_axis=2, emit_d2=emit_d2,
+        functools.partial(_kernel, face_axis=2, kmax=kmax, emit_d2=emit_d2,
                           emit_recon=emit_recon, emit_pts=emit_pts),
         grid=grid,
         in_specs=in_specs,
@@ -388,5 +392,7 @@ def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
         scratch_shapes=scratch,
         interpret=interpret,
     )(_pack_lines(lines, Lp), p)
-    return (_unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=0, Lp=Lp),
-            _unpack(outs, L, emit_d2, emit_recon, emit_pts, cloud=1, Lp=Lp))
+    return (_unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=0,
+                    Lp=Lp),
+            _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=1,
+                    Lp=Lp))

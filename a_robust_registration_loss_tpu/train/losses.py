@@ -62,13 +62,10 @@ class LossConfig:
     mesh: Optional[object] = None
 
     def __post_init__(self):
-        # fail at CONFIG time, not first call: the fused pallas stage-1
-        # kernel is compiled for kmax=4 (every reference call site uses
-        # (1, 1, 5, 5) — loss.py:170 callers); other kmax needs backend=xla
-        if self.backend == "pallas" and self.kmax != 4:
+        if self.kmax < self.kmin or self.kmin < 1:
             raise ValueError(
-                f"backend='pallas' supports only kmax=4 (got {self.kmax}); "
-                "use backend='xla' for non-default intersection caps")
+                f"need 1 <= kmin <= kmax (got kmin={self.kmin}, "
+                f"kmax={self.kmax})")
 
 
 def batch_lines(key, tar_box, centers, n_lines, verts1, verts2,

