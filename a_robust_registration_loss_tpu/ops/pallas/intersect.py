@@ -16,14 +16,14 @@ ONE MXU matmul with a lower-triangular mask (binary inputs, so fp32-exact)
 — no scalar loops, no per-lane strided writes, no log-step shuffles.
 
 Three output modes trim the work to what the consumer actually reads:
-``emit_d2`` (raw per-neighbor distances — the generic gather path derives
-its weights from them; 12 per-slot reductions), ``emit_recon`` (the
-in-kernel weighted slot reconstruction — the rigid fast path consumes it
-directly; 12 reductions PLUS the dense per-(face, line) weight math, the
-single largest optional cost) and ``emit_pts`` (the raw gathered neighbor
-coordinates per slot — 36 reductions, no dense math; measured slower than
-emit_recon for the rigid path, kept for consumers that need the raw
-coords).
+``emit_d2`` (raw per-neighbor distances — weights derive from them; 3 VPU
+reduces per slot), ``emit_pts`` (the exact gathered neighbor coordinates +
+face id per slot as ONE fp32-HIGHEST MXU matmul per slot against the
+one-hot slot mask — the rigid fast path consumes d2+pts and reconstructs
+outside on the <= kmax slots, byte-matching the XLA glue arithmetic) and
+``emit_recon`` (the round-2 in-kernel dense weighted reconstruction —
+kept for comparison/tests; pays per-(face, line) sqrt/divide weight math
+on the whole tile and measures slower than d2+pts).
 
 ``intersect_stage1_pair`` runs BOTH clouds of a registration pair in one
 ``pallas_call`` (leading cloud grid axis): one dispatch instead of two, and
