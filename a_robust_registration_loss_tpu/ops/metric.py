@@ -123,21 +123,32 @@ def _stage1_chunk(P, delta, lines_chunk, kmax: int):
     return Intersections(count, slot_idx, w)
 
 
-def _pallas_outputs_to_inter(point_neis, outputs):
+def _pallas_outputs_to_inter(point_neis, outputs, lines=None):
     """(count, slot_idx, slot_d2 | None, slot_recon | None, slot_pts | None)
-    from the kernel -> (Intersections, recon | None). Weights are derived
-    from the raw distances when the kernel emitted them, and left as zeros
-    otherwise (the rigid fast path never reads them). When the kernel
-    emitted the raw gathered neighbor coordinates (emit_pts), the weighted
-    reconstruction sum_i w_i p_i is formed here from (d2, pts) — the same
-    arithmetic the kernel's emit_recon mode does densely per (face, line),
-    but on only the <= kmax selected slots per line."""
+    from the kernel -> (Intersections, recon | None).
+
+    Weights come from the kernel's raw distances when emitted (emit_d2);
+    with emit_pts + ``lines`` they are instead recomputed from the EXACT
+    gathered slot coordinates — the same point-line distance formula on the
+    same fp32 inputs, on only (L, kmax, nnei) values instead of 3 per-slot
+    dense reduces inside the kernel. The weighted reconstruction
+    sum_i w_i p_i is then formed here on the <= kmax selected slots."""
     count, slot_idx, slot_d2, slot_recon, slot_pts = outputs
     F = point_neis.shape[0]
     filled = slot_idx < F
     slot_idx = jnp.where(filled, slot_idx, F).astype(jnp.int32)
+    if slot_d2 is None and slot_pts is not None and lines is not None:
+        # d_perp^2 recomputed from the gathered coordinates (detached):
+        # same per-component accumulation order as the kernel
+        lines = jax.lax.stop_gradient(lines)
+        dirs = lines[:, None, None, 0:3]
+        x0 = lines[:, None, None, 3:6]
+        diff = slot_pts - x0                     # (L, kmax, nnei, 3)
+        d_ac = jnp.sum(diff * diff, axis=-1)
+        proj = jnp.sum(diff * dirs, axis=-1)
+        slot_d2 = d_ac - proj * proj
     if slot_d2 is not None:
-        d = jnp.sqrt(slot_d2 + 2e-4)  # loss.py:88
+        d = jnp.sqrt(jnp.maximum(slot_d2 + 2e-4, 0.0))  # loss.py:88
         w = d / jnp.sum(d, -1, keepdims=True)
         w = jnp.where(filled[..., None], w, 0.0)
     else:
@@ -190,12 +201,13 @@ def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
     d2 = neighborhood_delta(jax.lax.stop_gradient(point_neis2))
     out1, out2 = PK.intersect_stage1_pair(point_neis1, point_neis2, lines,
                                           d1, d2, kmax=kmax,
-                                          emit_d2=True,
+                                          emit_d2=not emit_recon,
                                           emit_recon=False,
                                           emit_pts=emit_recon,
                                           interpret=interpret)
-    return (_pallas_outputs_to_inter(point_neis1, out1),
-            _pallas_outputs_to_inter(point_neis2, out2))
+    glue_lines = lines if emit_recon else None
+    return (_pallas_outputs_to_inter(point_neis1, out1, glue_lines),
+            _pallas_outputs_to_inter(point_neis2, out2, glue_lines))
 
 
 def neighborhood_delta(point_neis):

@@ -144,10 +144,14 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
     csum = jnp.dot(tri, hits.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)  # (TF, TL)
     rank = csum - hits + cnt_acc[0, :][None, :]  # exclusive rank + carry
+    # one-hot slot selector base: rank of hit faces, -1 elsewhere — the
+    # per-slot mask is then a single compare instead of hits * |rank-s|<0.5
+    rank_sel = jnp.where((label) & (rank < kmax), rank, -1.0)
 
-    face_ids = (j * TF + jax.lax.broadcasted_iota(jnp.int32, (TF, TL), 0)).astype(
-        jnp.float32
-    )
+    if not emit_pts:
+        face_ids = (j * TF
+                    + jax.lax.broadcasted_iota(jnp.int32, (TF, TL), 0)
+                    ).astype(jnp.float32)
 
     if emit_pts:
         # per-slot gathered coordinates as ONE MXU matmul per slot:
@@ -168,7 +172,7 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
     # sentinel is re-applied outside the kernel from `count` (slots fill in
     # rank order, so slot s is occupied iff s < count).
     for s in range(kmax):
-        m = hits * (jnp.abs(rank - s) < 0.5)  # one-hot over faces per line
+        m = (rank_sel == s).astype(jnp.float32)  # one-hot over faces per line
         if emit_pts:
             # HIGHEST precision: the default fp32 matmul runs as bf16 MXU
             # passes and rounds the gathered coordinates (~1e-3) — caught by

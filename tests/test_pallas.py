@@ -217,7 +217,11 @@ class TestRigidFastPath:
 
         v1, g1 = jax.value_and_grad(loss_generic)(twist)
         v2, g2 = jax.value_and_grad(loss_rigid)(twist)
-        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        # 5e-5: the rigid path derives the detached slot weights from the
+        # exact gathered coordinates (same formula, ulp-level op-order
+        # differences vs the generic path's dense-tensor distances); the
+        # exact masked median can then select a neighboring order statistic
+        np.testing.assert_allclose(float(v2), float(v1), rtol=5e-5)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=5e-3, atol=1e-6)
 
