@@ -28,8 +28,10 @@ def _clouds(rng, b=2, n=96):
 
 
 class TestDCP:
-    @pytest.mark.parametrize("emb", ["pointnet", "dgcnn"])
-    @pytest.mark.parametrize("head", ["svd", "mlp"])
+    @pytest.mark.parametrize("emb", [
+        pytest.param("pointnet", marks=pytest.mark.slow), "dgcnn"])
+    @pytest.mark.parametrize("head", [
+        "svd", pytest.param("mlp", marks=pytest.mark.slow)])
     def test_configs(self, rng, emb, head):
         src, _ = _clouds(rng)
         tgt, _ = _clouds(rng)

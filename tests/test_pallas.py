@@ -405,7 +405,8 @@ class TestKmaxGeneralization:
     constant (round-1 VERDICT weak item 4): any kmax must match the XLA
     path exactly."""
 
-    @pytest.mark.parametrize("kmax", [2, 6])
+    @pytest.mark.parametrize("kmax", [
+        2, pytest.param(6, marks=pytest.mark.slow)])
     def test_stage1_any_kmax(self, kmax):
         neis1, _, lines = _random_problem(seed=17, f1=260, n_lines=200)
         j1, lj = jnp.asarray(neis1), jnp.asarray(lines)
@@ -420,6 +421,7 @@ class TestKmaxGeneralization:
                                    np.asarray(ref.slot_w),
                                    rtol=1e-4, atol=3e-4)
 
+    @pytest.mark.slow  # fast tier keeps the kmax=2 stage-1 equivalence
     def test_whole_loss_kmax2(self):
         neis1, neis2, lines = _random_problem(seed=19, f1=200, f2=180,
                                               n_lines=200)

@@ -56,6 +56,8 @@ def mesh8():
 
 
 class TestShardedMetric:
+    @pytest.mark.slow  # fast-tier representative: the harness-level
+    # sharded-vs-unsharded equality in TestShardedHarnessLoss
     def test_batch_loss_matches_unsharded(self, mesh8):
         n1, n2, lines = _problem()
         ref_loss, ref_valid = jax.jit(M.intersection_loss_batch)(n1, n2, lines)
