@@ -6,18 +6,26 @@ drops into a serialized ~1 ms-RTT-per-dispatch mode after (a) compiling any
 jit with a closure-captured concrete device array or (b) ANY synchronous
 device->host fetch, even a scalar ``float()`` (see benchmarks/RESULTS.md
 "Axon dispatch-pipelining poison"). Both happen in every realistic process,
-so wall/dispatch conflates device time with host RTT.
+so wall/dispatch conflates device time with host RTT. Worse, in a
+fresh process ``block_until_ready`` returns EARLY, so un-fetched wall
+timings under-report arbitrarily.
 
 ``device_ms`` instead runs the function ``iters`` times inside ONE
-``lax.scan`` dispatch and divides the wall by ``iters`` — a single
-dispatch's RTT amortizes away and the measurement is pure device time.
+``lax.scan`` dispatch, fetch-brackets the result (true completion), and
+divides by ``iters`` after subtracting one measured fetch RTT.
 
-XLA must not hoist the loop-invariant body out of the scan, so the body is
-chained through a runtime-zero carry: float inputs get ``+ carry`` (carry is
-0.0 at runtime, unknown at compile time) and the carry advances by
-``eps * sum(outputs)`` with a runtime ``eps == 0.0``. Values are bit-exact
-(x + 0.0 == x for finite x) and every iteration depends on the previous
-one's outputs, so the compiler keeps all ``iters`` evaluations.
+Two compiler escape hatches must be closed so the scan really evaluates the
+body ``iters`` times:
+
+1. Loop-invariant code motion: any subgraph whose inputs are all loop-
+   invariant is computed ONCE before the loop. So every input leaf is
+   perturbed with an iteration-dependent runtime-zero: floats get
+   ``+ carry`` (carry chains through outputs), ints/uints (PRNG keys
+   included) get ``+ i * zero_int``, bools get ``^ ((i * zero_int) != 0)``.
+   All values are bit-exact at runtime.
+2. Dead-code elimination: outputs must feed the carry, so the carry
+   advances by ``eps * mean(outputs)`` over ALL leaves — float leaves
+   directly, int/bool leaves via a float cast — with runtime ``eps == 0``.
 """
 
 from __future__ import annotations
@@ -28,44 +36,59 @@ import time
 def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
     """Average device milliseconds per evaluation of ``fn(*args)``.
 
-    fn must be a traceable (jit-able) function of device/numpy arrays with
-    array (pytree) outputs. Keys and int/bool arrays pass through unchanged;
-    float arrays are perturbed by the runtime-zero carry (bit-exact no-op).
+    fn must be a traceable (jit-able) function of device/numpy arrays
+    (floats, ints/uints incl. raw PRNG keys, bools) with array (pytree)
+    outputs. Typed (new-style) PRNG keys are not perturbed — pass raw
+    uint32 keys (``jax.random.PRNGKey``) for key-only workloads.
     """
     import jax
     import jax.numpy as jnp
 
-    def _is_float(a):
-        return jnp.issubdtype(jnp.result_type(a), jnp.floating)
+    def _kind(a):
+        dt = jnp.result_type(a)
+        if jnp.issubdtype(dt, jnp.floating):
+            return "f"
+        if jnp.issubdtype(dt, jnp.integer):
+            return "i"
+        if dt == jnp.bool_:
+            return "b"
+        return "x"
 
-    def loop(z, eps, *fargs):
-        def body(c, _):
-            shifted = jax.tree.map(
-                lambda a: a + c.astype(a.dtype) if _is_float(a) else a, fargs)
-            out = fn(*shifted)
+    def loop(z, eps, zi, *fargs):
+        def body(c, i):
+            iz = i * zi  # runtime 0, loop-variant, unprovable at compile time
+
+            def shift(a):
+                k = _kind(a)
+                if k == "f":
+                    return a + c.astype(a.dtype)
+                if k == "i":
+                    return a + iz.astype(a.dtype)
+                if k == "b":
+                    return a ^ (iz != 0)
+                return a
+            out = fn(*jax.tree.map(shift, fargs))
             # nan_to_num: outputs may legitimately contain inf sentinels
             # (masked sorts); eps * inf would be NaN and corrupt the carry
-            s = sum(jnp.nan_to_num(jnp.mean(x)).astype(jnp.float32)
-                    for x in jax.tree.leaves(out) if _is_float(x))
-            if not isinstance(s, jnp.ndarray):  # no float outputs
-                s = jnp.float32(0.0)
+            s = jnp.float32(0.0)
+            for x in jax.tree.leaves(out):
+                k = _kind(x)
+                if k == "f":
+                    s = s + jnp.nan_to_num(jnp.mean(x)).astype(jnp.float32)
+                elif k in ("i", "b"):
+                    s = s + jnp.mean(x.astype(jnp.float32))
             return c + eps * s, ()
-        c, _ = jax.lax.scan(body, z, None, length=iters)
+        c, _ = jax.lax.scan(body, z, jnp.arange(iters, dtype=jnp.int32))
         return c
 
     jloop = jax.jit(loop)
     z = jnp.float32(0.0)
     eps = jnp.float32(0.0)
+    zi = jnp.int32(0)
 
-    # The axon plugin's block_until_ready returns EARLY until the process
-    # has performed a synchronous device->host fetch (after which every
-    # dispatch serializes at ~RTT instead — both documented in
-    # benchmarks/RESULTS.md). So: force sync mode with a fetch, bracket the
-    # timed region with a fetch of the carry (true completion), and
-    # subtract one measured fetch RTT.
-    float(jloop(z, eps, *args))  # warmup + compile + enter sync mode
+    float(jloop(z, eps, zi, *args))  # warmup + compile + enter sync mode
     if warmup:
-        float(jloop(z, eps, *args))
+        float(jloop(z, eps, zi, *args))
     rtts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -73,6 +96,6 @@ def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
         rtts.append(time.perf_counter() - t0)
     rtt = sorted(rtts)[1]
     t0 = time.perf_counter()
-    float(jloop(z, eps, *args))
+    float(jloop(z, eps, zi, *args))
     wall = time.perf_counter() - t0
     return max(wall - rtt, 0.0) / iters * 1000.0

@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -43,19 +42,6 @@ def _cloud(n, seed, noise=0.01):
                   np.cos(phi)], -1).astype(np.float32)
     rng = np.random.default_rng(seed)
     return p + rng.standard_normal(p.shape).astype(np.float32) * noise
-
-
-def timeit(f, *args, n=30, warmup=5):
-    import jax
-
-    for _ in range(warmup):
-        out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000
 
 
 def main():

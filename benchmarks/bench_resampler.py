@@ -109,6 +109,11 @@ def main(argv=None):
         "ms_full_resample": device_ms(
             lambda k, rr, cc, a, b: LN.resample_lines(
                 k, rr, cc, args.n_lines, a, b), key, r, center, v1, v2),
+        "ms_full_resample_pallas": (device_ms(
+            lambda k, rr, cc, a, b: LN.resample_lines(
+                k, rr, cc, args.n_lines, a, b, backend="pallas"),
+            key, r, center, v1, v2)
+            if jax.default_backend() not in ("cpu",) else None),
         "ms_full_resample_wall_per_dispatch": timeit(full, key, r, center,
                                                      v1, v2),
         "backend": jax.default_backend(),

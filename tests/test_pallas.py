@@ -386,18 +386,25 @@ class TestResampleKernel:
         expect[: len(kept)] = kept
         np.testing.assert_array_equal(np.asarray(out), expect)
 
-    def test_padded_tail_rejected(self):
-        """Candidates beyond C (tile padding) must never be accepted."""
+    def test_tile_padding_independence(self):
+        """A C that is NOT a multiple of the tile (padded grid) must produce
+        bitwise the same candidates/acceptances as an exactly-tiled run —
+        the observable contract of the in-kernel padded-tail masking."""
         from a_robust_registration_loss_tpu.ops.pallas import resample as PR
 
         v1, v2, fvs1, fvs2 = self._setup()
         fv = PR.prep_faces(fvs1, fvs2)
-        C = 700  # NOT a multiple of the tile
+        C = 700
         u4 = jax.random.uniform(jax.random.PRNGKey(9), (4, C))
-        cand, ok = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0), fv,
-                                     tc=512, interpret=True)
-        assert cand.shape == (C, 6) and ok.shape == (C,)
-        assert int(jnp.sum(ok)) > 0
+        cand_pad, ok_pad = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0),
+                                             fv, tc=512, interpret=True)
+        cand_ex, ok_ex = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0),
+                                           fv, tc=350, interpret=True)
+        assert cand_pad.shape == (C, 6) and ok_pad.shape == (C,)
+        assert int(jnp.sum(ok_pad)) > 0
+        np.testing.assert_array_equal(np.asarray(cand_pad),
+                                      np.asarray(cand_ex))
+        np.testing.assert_array_equal(np.asarray(ok_pad), np.asarray(ok_ex))
 
 
 class TestKmaxGeneralization:
