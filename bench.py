@@ -92,8 +92,38 @@ def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
         out[backend] = (jax.device_get(inter1), float(loss),
                         np.asarray(grad))
 
+    # resample-kernel check: the fused candidate kernel must produce the
+    # same candidate geometry as the XLA chain (trig ulps) and a matching
+    # acceptance rate (labels are knife-edge rounding-determined on every
+    # implementation — see ops/pallas/resample.py — so only the rate, not
+    # the individual bits, is contractual)
+    C = 10 * n_lines
+    u4 = jax.random.uniform(jax.random.PRNGKey(7), (4, C))
+    cand_x = jax.jit(LN.sample_lines, static_argnums=3)(
+        jax.random.PRNGKey(7), data["radius"], data["center"], C)
+    from a_robust_registration_loss_tpu.ops import geometry as G
+    from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+    fvs1 = G.bbox_face_vertices(data["src"][None])[0]
+    fvs2 = G.bbox_face_vertices(data["tar"][None])[0]
+    ok_x = jax.jit(lambda f1, f2, c: (LN.triangle_hits(f1, c) > 0)
+                   & (LN.triangle_hits(f2, c) > 0))(fvs1, fvs2, cand_x)
+    cand_p, ok_p = PR.sample_and_hit(u4, data["radius"],
+                                     jnp.asarray(data["center"]),
+                                     PR.prep_faces(fvs1, fvs2))
+    cand_p, ok_p, cand_x, ok_x = jax.device_get((cand_p, ok_p, cand_x, ok_x))
+    resample_problems = []
+    if not np.allclose(cand_p, cand_x, rtol=1e-4, atol=1e-4):
+        resample_problems.append(
+            f"resample candidate geometry mismatch "
+            f"(max {np.abs(cand_p - cand_x).max():.2e})")
+    ax, ap = float(ok_x.mean()), float(ok_p.mean())
+    if abs(ax - ap) > 0.1 * max(ax, 1e-3):
+        resample_problems.append(
+            f"resample acceptance rate mismatch xla={ax:.4f} pallas={ap:.4f}")
+
     (ix, lx, gx), (ip_, lp, gp) = out["xla"], out["pallas"]
-    problems = []
+    problems = resample_problems
     if not np.array_equal(np.asarray(ix.count), np.asarray(ip_.count)):
         problems.append("stage1 count mismatch "
                         f"({int(np.sum(np.asarray(ix.count) != np.asarray(ip_.count)))} lines)")
