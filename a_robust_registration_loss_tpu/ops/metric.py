@@ -353,32 +353,133 @@ def intersection_loss_rigid(R, t, point_neis1, point_neis2, lines,
         return intersection_loss_transformed(
             lambda p: _mm(p, R) + t, point_neis1, point_neis2, lines,
             kmin, kmax, line_chunk, backend, interpret)
+    return _intersection_loss_rigid_lanemajor(
+        R, t, point_neis1, point_neis2, lines, kmin, kmax, interpret)
 
+
+def _intersection_loss_rigid_lanemajor(R, t, point_neis1, point_neis2,
+                                       lines, kmin: int, kmax: int,
+                                       interpret: bool):
+    """The rigid pallas path, entirely LANE-MAJOR: the kernel's raw
+    (rows, lanes) outputs feed row-wise slot math with no (L, ...)
+    transposes anywhere (the `_unpack` relayouts of pts/idx cost ~0.2 ms at
+    L=20k). Semantics are identical to
+    intersection_loss_from_slots(reconstruct(...)) — same weights (from
+    distances recomputed against the packed lines), the same exact masked
+    lower-median, per-combo normalization, exp(-0.5|k-j|) weights and
+    nonempty-combo division; only the reduction layout differs.
+
+    NOTE stage 1 sees the ALREADY-transformed cloud 1 (detached), so the
+    reconstruction is un-transformed with the detached (R, t) and re-applied
+    with the traced ones — the only place gradients enter, exactly like the
+    reference's autograd graph through the gathered points
+    (loss.py:155-163, 455-463)."""
+    from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
+
+    nnei = point_neis1.shape[1] // 3
     neis1_t = jax.lax.stop_gradient(
         (_mm(point_neis1.reshape(-1, 3), R) + t).reshape(point_neis1.shape)
     )
-    (inter1, recon1), (inter2, recon2) = _find_intersections_pallas_pair(
-        neis1_t, point_neis2, lines, kmax, interpret,
-        emit_recon=True)
-    F1 = point_neis1.shape[0]
-    F2 = point_neis2.shape[0]
-    nnei = point_neis1.shape[1] // 3
-    # NOTE: inter1/recon1 were computed from the ALREADY-transformed cloud;
-    # undo and re-apply differentiably: recon1 is sum_i w_i (p_i @ R + t)
-    # with detached R, t inside the kernel. Re-expressing in raw coordinates:
-    # raw = (recon1 - t) @ R^T, then pts1 = (raw @ R + t) / nnei with the
-    # traced R, t. Simpler and exactly equivalent: pts1 from the raw cloud's
-    # gathered reconstruction — but stage 1 must see the transformed cloud.
-    # So: recon_raw = (recon1 - sum_w * t) @ R^T with sum_w == 1 for filled
-    # slots (w sums to 1), 0 for empty (recon 0).
-    filled1 = (inter1.slot_idx < F1)[..., None]
+    d1 = neighborhood_delta(neis1_t)
+    d2v = neighborhood_delta(jax.lax.stop_gradient(point_neis2))
+    count2, _idx2, pts2L, ll, Lp = PK.intersect_stage1_pair_lanemajor(
+        neis1_t, point_neis2, lines, d1, d2v, kmax=kmax, interpret=interpret)
+
+    c1 = count2[0, :Lp]
+    c2 = count2[0, Lp:]
+    # padded lanes beyond L have count 0 and kmin >= 1 keeps them invalid
+    lvalid = (c1 >= kmin) & (c1 <= kmax) & (c2 >= kmin) & (c2 <= kmax)
+
+    dirs, x0 = ll[0:3, :], ll[3:6, :]  # (3, Lp) each
+
+    def recon_rows(P, cnt):
+        """(kmax*9, Lp) gathered slot coords -> (kmax*3, Lp) weighted
+        reconstruction sum_i w_i p_i, masked to 0 on empty slots. Same
+        arithmetic as _pallas_outputs_to_inter's emit_pts branch."""
+        rows = []
+        for s in range(kmax):
+            d = []
+            for i in range(NNEI_DEFAULT):
+                d_ac = jnp.zeros_like(x0[0])
+                proj = jnp.zeros_like(x0[0])
+                for c in range(3):
+                    diff = P[s * 9 + i * 3 + c] - x0[c]
+                    d_ac = d_ac + diff * diff
+                    proj = proj + diff * dirs[c]
+                d.append(jnp.sqrt(jnp.maximum(d_ac - proj * proj + 2e-4,
+                                              0.0)))
+            dsum = d[0] + d[1] + d[2]
+            w = [d[i] / dsum for i in range(NNEI_DEFAULT)]
+            filled = s < jnp.minimum(cnt, kmax)
+            for c in range(3):
+                acc = jnp.zeros_like(x0[0])
+                for i in range(NNEI_DEFAULT):
+                    acc = acc + w[i] * P[s * 9 + i * 3 + c]
+                rows.append(jnp.where(filled, acc, 0.0))
+        return rows  # list of kmax*3 (Lp,) rows
+
+    r1 = recon_rows(pts2L[:, :Lp], c1)   # transformed-cloud coords, detached
+    r2 = recon_rows(pts2L[:, Lp:], c2)
+
     Rd = jax.lax.stop_gradient(R)
     td = jax.lax.stop_gradient(t)
-    recon_raw = jnp.where(filled1, _mm(recon1 - td, Rd.T), 0.0)
-    pts1 = jnp.where(filled1, (_mm(recon_raw, R) + t) / nnei, 0.0)
-    pts2 = jnp.where((inter2.slot_idx < F2)[..., None], recon2 / nnei, 0.0)
-    return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin,
-                                        kmax)
+    pts1, pts2 = [], []
+    for s in range(kmax):
+        v = [r1[s * 3 + c] for c in range(3)]
+        raw = [sum((v[k] - td[k]) * Rd[c, k] for k in range(3))
+               for c in range(3)]                      # (v - t) @ R^T
+        filled1 = s < jnp.minimum(c1, kmax)
+        for c in range(3):
+            fwd = sum(raw[k] * R[k, c] for k in range(3)) + t[c]  # raw @ R + t
+            pts1.append(jnp.where(filled1, fwd / nnei, 0.0))
+        filled2 = s < jnp.minimum(c2, kmax)
+        for c in range(3):
+            pts2.append(jnp.where(filled2, r2[s * 3 + c] / nnei, 0.0))
+
+    # stage 2, row-wise (reference: loss.py:115-232; see
+    # intersection_loss_from_slots for the reference mapping)
+    slot_ok1 = [(s < jnp.minimum(c1, kmax)) & lvalid for s in range(kmax)]
+    slot_ok2 = [(s < jnp.minimum(c2, kmax)) & lvalid for s in range(kmax)]
+    D, pair_ok = [], []
+    for s1 in range(kmax):
+        for s2 in range(kmax):
+            acc = jnp.zeros_like(x0[0])
+            for c in range(3):
+                diff = pts1[s1 * 3 + c] - pts2[s2 * 3 + c]
+                acc = acc + diff * diff
+            D.append(acc)
+            pair_ok.append(slot_ok1[s1] & slot_ok2[s2])
+    D_all = jnp.stack(D)             # (kmax*kmax, Lp)
+    ok_all = jnp.stack(pair_ok)
+    median = jax.lax.stop_gradient(_masked_lower_median(D_all, ok_all))
+
+    big = jnp.asarray(jnp.inf, D_all.dtype)
+    rowmin = [jnp.min(jnp.stack(
+        [jnp.where(slot_ok2[s2], D[s1 * kmax + s2], big)
+         for s2 in range(kmax)]), axis=0) for s1 in range(kmax)]
+    colmin = [jnp.min(jnp.stack(
+        [jnp.where(slot_ok1[s1], D[s1 * kmax + s2], big)
+         for s1 in range(kmax)]), axis=0) for s2 in range(kmax)]
+
+    nC = kmax - kmin + 1
+    cid = jnp.where(lvalid, (c1 - kmin) * nC + (c2 - kmin), nC * nC)
+    hist = jnp.zeros((nC * nC + 1,), jnp.int32).at[cid].add(1)
+    n_combo = hist[:-1]
+    n_nonempty = jnp.sum(n_combo > 0)
+    n_line = jnp.where(lvalid, n_combo[jnp.minimum(cid, nC * nC - 1)], 1)
+
+    c1f = jnp.maximum(c1, 1).astype(D_all.dtype)
+    c2f = jnp.maximum(c2, 1).astype(D_all.dtype)
+    row_sum = sum(jnp.where(slot_ok1[s], welsch(rowmin[s], median), 0.0)
+                  for s in range(kmax))
+    col_sum = sum(jnp.where(slot_ok2[s], welsch(colmin[s], median), 0.0)
+                  for s in range(kmax))
+    row_term = row_sum / (n_line * c1f)
+    col_term = col_sum / (n_line * c2f)
+    w_line = jnp.exp(-0.5 * jnp.abs(c1 - c2).astype(D_all.dtype))
+    per_line = jnp.where(lvalid, w_line * (row_term + col_term), 0.0)
+    loss = jnp.sum(per_line) / jnp.maximum(n_nonempty, 1).astype(D_all.dtype)
+    return loss, n_nonempty > 0
 
 
 def _masked_lower_median(values, mask):

@@ -356,29 +356,16 @@ def intersect_stage1(point_neis, lines, delta, *, kmax: int = KMAX,
     return _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts)
 
 
-@functools.partial(jax.jit, static_argnames=("kmax", "tl", "tf", "emit_d2",
-                                             "emit_recon", "emit_pts",
-                                             "interpret"))
-def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
-                          kmax: int = KMAX,
-                          tl: int = 2048, tf: int = 256, emit_d2: bool = True,
-                          emit_recon: bool = True, emit_pts: bool = False,
-                          interpret: bool = False):
-    """Stage 1 for BOTH clouds of a registration pair in one pallas_call:
-    grid (2, line_tiles, face_tiles) with the cloud on the slowest axis —
-    one kernel dispatch, and the second cloud's sweep streams through the
-    already-warm pipeline. Clouds of different sizes are padded to a common
-    face count (padded faces carry -inf thresholds and never intersect).
-
-    Returns two (count, slot_idx, slot_d2 | None, slot_recon | None,
-    slot_pts | None) tuples, bitwise identical to two ``intersect_stage1``
-    calls."""
+def _pair_call(point_neis1, point_neis2, lines, delta1, delta2, kmax, tl,
+               tf, emit_d2, emit_recon, emit_pts, interpret):
+    """The shared paired pallas_call: returns (outs, Lp) with the raw
+    lane-major outputs (each array stacks the two clouds along the lane
+    axis: cloud c occupies lanes [c*Lp, (c+1)*Lp))."""
     point_neis1 = jax.lax.stop_gradient(point_neis1)
     point_neis2 = jax.lax.stop_gradient(point_neis2)
     lines = jax.lax.stop_gradient(lines)
-    L = lines.shape[0]
     Fp = _round_up(max(point_neis1.shape[0], point_neis2.shape[0]), tf)
-    Lp = _round_up(L, tl)
+    Lp = _round_up(lines.shape[0], tl)
 
     p = jnp.concatenate([_pack_faces(point_neis1, delta1, Fp),
                          _pack_faces(point_neis2, delta2, Fp)])  # (32, Fp)
@@ -396,7 +383,49 @@ def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
         scratch_shapes=scratch,
         interpret=interpret,
     )(_pack_lines(lines, Lp), p)
+    return outs, Lp
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "tl", "tf", "emit_d2",
+                                             "emit_recon", "emit_pts",
+                                             "interpret"))
+def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
+                          kmax: int = KMAX,
+                          tl: int = 2048, tf: int = 256, emit_d2: bool = True,
+                          emit_recon: bool = True, emit_pts: bool = False,
+                          interpret: bool = False):
+    """Stage 1 for BOTH clouds of a registration pair in one pallas_call:
+    grid (2, line_tiles, face_tiles) with the cloud on the slowest axis —
+    one kernel dispatch, and the second cloud's sweep streams through the
+    already-warm pipeline. Clouds of different sizes are padded to a common
+    face count (padded faces carry -inf thresholds and never intersect).
+
+    Returns two (count, slot_idx, slot_d2 | None, slot_recon | None,
+    slot_pts | None) tuples, bitwise identical to two ``intersect_stage1``
+    calls."""
+    L = lines.shape[0]
+    outs, Lp = _pair_call(point_neis1, point_neis2, lines, delta1, delta2,
+                          kmax, tl, tf, emit_d2, emit_recon, emit_pts,
+                          interpret)
     return (_unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=0,
                     Lp=Lp),
             _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=1,
                     Lp=Lp))
+
+
+def intersect_stage1_pair_lanemajor(point_neis1, point_neis2, lines, delta1,
+                                    delta2, *, kmax: int = KMAX,
+                                    tl: int = 2048, tf: int = 256,
+                                    interpret: bool = False):
+    """Raw lane-major paired stage 1 in pts mode, for consumers that stay
+    lane-major end to end (ops/metric.py's rigid loss): returns
+    (count (1, 2*Lp) int32, slot_idx (kmax, 2*Lp) int32 — 0 on empty slots,
+    slot_pts (kmax*9, 2*Lp) f32, packed_lines (8, Lp), Lp) where cloud c
+    occupies lanes [c*Lp, (c+1)*Lp). packed_lines is the kernel's own line
+    input (rows 0-2 direction, 3-5 origin), shared so the caller pays no
+    re-pack."""
+    outs, Lp = _pair_call(point_neis1, point_neis2, lines, delta1, delta2,
+                          kmax, tl, tf, False, False, True, interpret)
+    count, slot_idx, slot_pts = outs
+    packed = _pack_lines(jax.lax.stop_gradient(lines), Lp)  # CSEs with input
+    return count, slot_idx, slot_pts, packed, Lp
