@@ -320,7 +320,7 @@ def _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=None,
                                              "interpret"))
 def intersect_stage1(point_neis, lines, delta, *, kmax: int = KMAX,
                      tl: int = 2048,
-                     tf: int = 256, emit_d2: bool = True,
+                     tf: int = 128, emit_d2: bool = True,
                      emit_recon: bool = True, emit_pts: bool = False,
                      interpret: bool = False):
     """Fused stage 1. point_neis (F, 9), lines (L, 6), delta (F,) adaptive
@@ -391,7 +391,7 @@ def _pair_call(point_neis1, point_neis2, lines, delta1, delta2, kmax, tl,
                                              "interpret"))
 def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
                           kmax: int = KMAX,
-                          tl: int = 2048, tf: int = 256, emit_d2: bool = True,
+                          tl: int = 2048, tf: int = 128, emit_d2: bool = True,
                           emit_recon: bool = True, emit_pts: bool = False,
                           interpret: bool = False):
     """Stage 1 for BOTH clouds of a registration pair in one pallas_call:
@@ -415,7 +415,7 @@ def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
 
 def intersect_stage1_pair_lanemajor(point_neis1, point_neis2, lines, delta1,
                                     delta2, *, kmax: int = KMAX,
-                                    tl: int = 2048, tf: int = 256,
+                                    tl: int = 2048, tf: int = 128,
                                     interpret: bool = False):
     """Raw lane-major paired stage 1 in pts mode, for consumers that stay
     lane-major end to end (ops/metric.py's rigid loss): returns
