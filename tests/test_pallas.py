@@ -440,3 +440,47 @@ class TestKmaxGeneralization:
                                      backend="pallas", interpret=True)
         assert bool(vx) == bool(vp)
         np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+
+
+class TestRigidLaneMajorVmap:
+    """The training losses vmap intersection_loss_rigid over the batch
+    (train/losses.py _metric_batch_rt); the lane-major path must match the
+    generic gather-then-transform path under vmap too."""
+
+    @pytest.mark.slow
+    def test_vmapped_rigid_matches_transformed(self):
+        from a_robust_registration_loss_tpu.se3 import se3
+
+        B = 3
+        neis1 = []
+        neis2 = []
+        lines = []
+        for b in range(B):
+            n1, n2, ln = _random_problem(seed=31 + b, f1=200, f2=200,
+                                         n_lines=150)
+            neis1.append(n1), neis2.append(n2), lines.append(ln)
+        neis1 = jnp.asarray(np.stack(neis1))
+        neis2 = jnp.asarray(np.stack(neis2))
+        lines = jnp.asarray(np.stack(lines))
+        twists = jnp.asarray([[0.04, -0.03, 0.06, 0.02, 0.0, -0.01],
+                              [-0.02, 0.05, 0.01, 0.0, 0.03, 0.02],
+                              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+
+        def batch_loss(fn):
+            def per(p, a, b, l):
+                R, t = se3.exp3(p)
+                return fn(R, t, a, b, l)
+            def total(ps):
+                return jnp.sum(jax.vmap(per)(ps, neis1, neis2, lines))
+            return jax.value_and_grad(total)(twists)
+
+        v_r, g_r = batch_loss(
+            lambda R, t, a, b, l: M.intersection_loss_rigid(
+                R, t, a, b, l, backend="pallas", interpret=True)[0])
+        v_g, g_g = batch_loss(
+            lambda R, t, a, b, l: M.intersection_loss_transformed(
+                lambda q: q @ R + t, a, b, l, backend="pallas",
+                interpret=True)[0])
+        np.testing.assert_allclose(float(v_r), float(v_g), rtol=5e-5)
+        np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_g),
+                                   rtol=5e-3, atol=1e-6)
