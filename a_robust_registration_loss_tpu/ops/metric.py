@@ -504,6 +504,12 @@ def intersection_loss_from_slots(pts1, inter1: Intersections,
     """Stage 2: the robust loss from two fixed-shape intersection sets
     (reference: loss.py:115-232 for the (kmin..kmax)^2 combo loops).
 
+    NOTE a lane-major twin of this function lives in
+    ``_intersection_loss_rigid_lanemajor`` (the pallas rigid fast path);
+    any semantic change here must be mirrored there — their value/grad
+    equality is pinned by tests/test_pallas.py::TestRigidFastPath and
+    ::TestRigidLaneMajorVmap.
+
     Returns (loss, valid) where valid == False corresponds to the reference's
     no-intersection sentinel (loss.py:232).
     """

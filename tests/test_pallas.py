@@ -484,3 +484,45 @@ class TestRigidLaneMajorVmap:
         np.testing.assert_allclose(float(v_r), float(v_g), rtol=5e-5)
         np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_g),
                                    rtol=5e-3, atol=1e-6)
+
+
+class TestResampleCoinUnbiased:
+    """The barycentric accept labels are rounding coins (see
+    TestResampleKernel docstring); what must NOT differ between backends is
+    the SPATIAL distribution of accepted lines — a systematically biased
+    coin (e.g. trig rounding correlated with the sphere angle) would skew
+    the metric's line coverage."""
+
+    @pytest.mark.slow
+    def test_direction_octants_match(self):
+        from a_robust_registration_loss_tpu.ops.pallas import resample as PR
+
+        rng = np.random.default_rng(2)
+        v1 = jnp.asarray(_sphere_cloud(300, rng, noise=0.05))
+        v2 = jnp.asarray(_sphere_cloud(300, rng, noise=0.05)) + 0.1
+        fvs1 = G.bbox_face_vertices(v1[None])[0]
+        fvs2 = G.bbox_face_vertices(v2[None])[0]
+        fv = PR.prep_faces(fvs1, fvs2)
+        C = 40000
+        key = jax.random.PRNGKey(21)
+        u4 = jax.random.uniform(key, (4, C))
+        cand_x = L.sample_lines(key, jnp.float32(2.2), v2.mean(0), C)
+        ok_x = np.asarray((L.triangle_hits(fvs1, cand_x) > 0)
+                          & (L.triangle_hits(fvs2, cand_x) > 0))
+        cand_p, ok_p = PR.sample_and_hit(u4, jnp.float32(2.2), v2.mean(0),
+                                         fv, tc=8192, interpret=True)
+        cand_p, ok_p = np.asarray(cand_p), np.asarray(ok_p)
+
+        def octants(cand, ok):
+            d = cand[ok][:, :3]
+            code = ((d[:, 0] > 0).astype(int) * 4
+                    + (d[:, 1] > 0).astype(int) * 2
+                    + (d[:, 2] > 0).astype(int))
+            return np.bincount(code, minlength=8).astype(float)
+
+        hx, hp = octants(np.asarray(cand_x), ok_x), octants(cand_p, ok_p)
+        hx, hp = hx / hx.sum(), hp / hp.sum()
+        # per-octant shares within 15% relative of each other (the label
+        # coins flip ~25-30% of individual accepts, but must not shift the
+        # spatial measure)
+        np.testing.assert_allclose(hp, hx, rtol=0.15, atol=0.01)
