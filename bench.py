@@ -27,25 +27,36 @@ N_LINES = 20000
 ITERS = 200   # per block; one same-shape block warms up, the second is timed
 
 
+def _synthetic_pair(n=4096):
+    rng = np.random.default_rng(0)
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    th = np.pi * (1 + 5**0.5) * i
+    p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                  np.cos(phi)], -1)
+    p = (p * np.array([1.0, 0.7, 0.5])).astype(np.float32)
+    v1 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
+    v2 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
+    return v1, v2
+
+
 def _load_pair():
-    """Reference sample pair when mounted (read-only), synthetic blob else."""
+    """Reference sample pair when mounted AND large enough for a true
+    N_POINTS-seed run (the committed challenge clouds have only 1,024
+    vertices and sample_neighs silently caps num_sample at the cloud size —
+    the round-1/2 headlines actually measured F=1024 under a 2048 label);
+    synthetic blob otherwise."""
     base = "/root/reference/code/sample_data/challenge_data"
     try:
         from a_robust_registration_loss_tpu.data import objio
 
         v1, _ = objio.read_obj(os.path.join(base, "0_src_sample.obj"))
         v2, _ = objio.read_obj(os.path.join(base, "0_tar_sample.obj"))
-        return v1, v2
+        if min(len(v1), len(v2)) >= N_POINTS:
+            return v1, v2
     except Exception:
-        rng = np.random.default_rng(0)
-        i = np.arange(4096) + 0.5
-        phi = np.arccos(1 - 2 * i / 4096)
-        th = np.pi * (1 + 5**0.5) * i
-        p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th), np.cos(phi)], -1)
-        p = (p * np.array([1.0, 0.7, 0.5])).astype(np.float32)
-        v1 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
-        v2 = p + rng.standard_normal(p.shape).astype(np.float32) * 0.01
-        return v1, v2
+        pass
+    return _synthetic_pair()
 
 
 def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
@@ -201,7 +212,7 @@ def main():
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "ms_per_iter": round(1000 * dt / ITERS, 3),
         "n_lines": N_LINES,
-        "n_points": N_POINTS,
+        "n_points": int(np.asarray(data["neis_src"]).shape[0]),  # actual F
         "backend": jax.default_backend(),
         "stage1": "pallas",
         "final_loss": float(metrics["loss"]),
