@@ -140,3 +140,41 @@ class TestFinalTransformNumpy:
             np.testing.assert_allclose(R_np, np.asarray(R_j), atol=2e-6)
             np.testing.assert_allclose(t_np, np.asarray(t_j), atol=2e-6)
             np.testing.assert_allclose(out[:, :3], R_np, atol=1e-7)
+
+
+class TestRegisterCLI:
+    def test_register_two_files(self, tmp_path):
+        """arrl-register: one-shot registration of two arbitrary cloud
+        files -> 3x4 transform + registered cloud."""
+        import numpy as np
+
+        from a_robust_registration_loss_tpu.data import objio
+        from a_robust_registration_loss_tpu import register as REG
+
+        rng = np.random.default_rng(0)
+        i = np.arange(300) + 0.5
+        phi = np.arccos(1 - 2 * i / 300)
+        th = np.pi * (1 + 5**0.5) * i
+        p = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                      np.cos(phi)], -1).astype(np.float32)
+        p = p * np.array([1.0, 0.6, 0.4], np.float32)
+        ang = 0.2
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        tar = p @ R.T + np.array([0.05, 0.02, -0.01], np.float32)
+        objio.write_obj(str(tmp_path / "s.obj"), p)
+        objio.write_obj(str(tmp_path / "t.obj"), tar)
+        out = tmp_path / "tf.txt"
+        pred_out = tmp_path / "pred.obj"
+        REG.main([str(tmp_path / "s.obj"), str(tmp_path / "t.obj"),
+                  "--out", str(out), "--pred_out", str(pred_out),
+                  "--n_epochs", "60", "--n_lines", "512",
+                  "--num_sample", "200", "--uncentered"])
+        tf = np.loadtxt(out)
+        assert tf.shape == (3, 4)
+        pred, _ = objio.read_obj(str(pred_out))
+        assert pred.shape == p.shape
+        # the optimizer must make real progress toward the target
+        d0 = np.linalg.norm(p[:, None] - tar[None], axis=-1).min(1).mean()
+        d1 = np.linalg.norm(pred[:, None] - tar[None], axis=-1).min(1).mean()
+        assert d1 < 0.5 * d0, (d0, d1)
