@@ -163,6 +163,17 @@ def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
 
 def main():
     import jax
+
+    # persistent compile cache: the gate + headline compile ~8 programs over
+    # the tunnel (~3 min cold); repeat runs (driver rounds, local
+    # re-recordings) skip them
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/arrl_tpu_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 
