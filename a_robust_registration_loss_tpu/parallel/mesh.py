@@ -16,6 +16,15 @@ Axes:
   (stop_gradient semantics matching the reference's detached weights), no
   gradient collective is needed across ``sp``; gradients ride ``dp`` psums
   inserted by XLA.
+
+Backend note: with ``backend="xla"`` GSPMD partitions the stage-1 sweep
+itself over ``sp`` (the scaling path). With ``backend="pallas"`` the fused
+kernel is an opaque custom call to GSPMD: results under a mesh are correct
+and match the xla path (verified on the 8-virtual-device mesh), but the
+kernel's operands are gathered, so ``sp`` does not speed the kernel up —
+for multi-chip line-parallel scaling use ``backend="xla"``, or shard_map
+the kernel per device (future work; single-chip pallas is the current
+production config).
 """
 
 from __future__ import annotations

@@ -305,3 +305,39 @@ class TestShardedHarnessLoss:
         g_sp = grad_under(mesh8)
         np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_dp),
                                    rtol=1e-3, atol=1e-7)
+
+
+class TestPallasUnderMesh:
+    @pytest.mark.slow
+    def test_pallas_metric_correct_under_sharded_lines(self, mesh8):
+        """The fused kernel is an opaque custom call to GSPMD: under a
+        (dp, sp) mesh with sharded line buffers it must still produce the
+        xla path's values (GSPMD gathers its operands; correctness, not
+        sp-scaling — see parallel/mesh.py backend note)."""
+        from jax.sharding import PartitionSpec as P
+
+        from a_robust_registration_loss_tpu.ops import geometry as G
+        from a_robust_registration_loss_tpu.ops import lines as LN
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        rng = np.random.default_rng(0)
+        pts1 = jnp.asarray(rng.standard_normal((2, 400, 3)).astype(np.float32) * 0.5)
+        pts2 = pts1 + 0.05
+        n1 = jnp.stack([G.sample_neighs(p, 256, 3).reshape(256, 9) for p in pts1])
+        n2 = jnp.stack([G.sample_neighs(p, 256, 3).reshape(256, 9) for p in pts2])
+        lines = jnp.stack([
+            LN.resample_lines(jax.random.PRNGKey(i), jnp.float32(2.0),
+                              pts2[i].mean(0), 2048, pts1[i], pts2[i])
+            for i in range(2)])
+
+        def loss(a, b, l, backend):
+            if backend == "pallas":
+                l = pmesh.constrain(l, mesh8, P("dp", "sp"))
+            losses, valid = M.intersection_loss_batch(
+                a, b, l, backend=backend, interpret=(backend == "pallas"))
+            return jnp.where(valid, losses, 0.0).mean()
+
+        with mesh8:
+            vp = jax.jit(lambda a, b, l: loss(a, b, l, "pallas"))(n1, n2, lines)
+            vx = jax.jit(lambda a, b, l: loss(a, b, l, "xla"))(n1, n2, lines)
+        np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
