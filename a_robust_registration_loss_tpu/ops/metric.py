@@ -374,6 +374,17 @@ def _intersection_loss_rigid_lanemajor(R, t, point_neis1, point_neis2,
     with the traced ones — the only place gradients enter, exactly like the
     reference's autograd graph through the gathered points
     (loss.py:155-163, 455-463)."""
+    pts1, pts2, c1, c2 = _rigid_slots_lanemajor(
+        R, t, point_neis1, point_neis2, lines, kmax, interpret)
+    return _stage2_lanemajor(pts1, pts2, c1, c2, kmin, kmax)
+
+
+def _rigid_slots_lanemajor(R, t, point_neis1, point_neis2, lines, kmax: int,
+                           interpret: bool):
+    """Stage 1 + slot reconstruction for the rigid lane-major path:
+    (pts1 (kmax*3, Lp), pts2 (kmax*3, Lp), c1 (Lp,), c2 (Lp,)). Per-line
+    local — safe to run on a line SHARD (the sp-parallel path shard_maps
+    this and all_gathers the outputs before _stage2_lanemajor)."""
     from a_robust_registration_loss_tpu.ops.pallas import intersect as PK
 
     nnei = point_neis1.shape[1] // 3
@@ -387,8 +398,6 @@ def _intersection_loss_rigid_lanemajor(R, t, point_neis1, point_neis2,
 
     c1 = count2[0, :Lp]
     c2 = count2[0, Lp:]
-    # padded lanes beyond L have count 0 and kmin >= 1 keeps them invalid
-    lvalid = (c1 >= kmin) & (c1 <= kmax) & (c2 >= kmin) & (c2 <= kmax)
 
     dirs, x0 = ll[0:3, :], ll[3:6, :]  # (3, Lp) each
 
@@ -436,6 +445,16 @@ def _intersection_loss_rigid_lanemajor(R, t, point_neis1, point_neis2,
         for c in range(3):
             pts2.append(jnp.where(filled2, r2[s * 3 + c] / nnei, 0.0))
 
+    return jnp.stack(pts1), jnp.stack(pts2), c1, c2
+
+
+def _stage2_lanemajor(pts1, pts2, c1, c2, kmin: int, kmax: int):
+    """Stage 2, row-wise, from lane-major slot points (kmax*3, Lp) and
+    per-line counts (reference: loss.py:115-232; see
+    intersection_loss_from_slots for the reference mapping).
+
+    Per-line padded lanes (count 0) stay invalid since kmin >= 1."""
+    lvalid = (c1 >= kmin) & (c1 <= kmax) & (c2 >= kmin) & (c2 <= kmax)
     # stage 2, row-wise (reference: loss.py:115-232; see
     # intersection_loss_from_slots for the reference mapping)
     slot_ok1 = [(s < jnp.minimum(c1, kmax)) & lvalid for s in range(kmax)]
@@ -443,7 +462,7 @@ def _intersection_loss_rigid_lanemajor(R, t, point_neis1, point_neis2,
     D, pair_ok = [], []
     for s1 in range(kmax):
         for s2 in range(kmax):
-            acc = jnp.zeros_like(x0[0])
+            acc = jnp.zeros_like(pts1[0])
             for c in range(3):
                 diff = pts1[s1 * 3 + c] - pts2[s2 * 3 + c]
                 acc = acc + diff * diff

@@ -18,13 +18,16 @@ Axes:
   inserted by XLA.
 
 Backend note: with ``backend="xla"`` GSPMD partitions the stage-1 sweep
-itself over ``sp`` (the scaling path). With ``backend="pallas"`` the fused
-kernel is an opaque custom call to GSPMD: results under a mesh are correct
-and match the xla path (verified on the 8-virtual-device mesh), but the
-kernel's operands are gathered, so ``sp`` does not speed the kernel up —
-for multi-chip line-parallel scaling use ``backend="xla"``, or shard_map
-the kernel per device (future work; single-chip pallas is the current
-production config).
+itself over ``sp``. With ``backend="pallas"`` the fused kernel is an
+opaque custom call to GSPMD (plain sharded execution is correct but
+gathers the kernel's operands — verified on the 8-virtual-device mesh);
+the training losses therefore dispatch to a shard_mapped line-parallel
+path when a mesh with sp > 1 is configured
+(train/losses.py:_metric_batch_rt_sp): each device sweeps its L/sp line
+shard through the kernel, the tiny per-line slot records all_gather over
+sp, and the globally-coupled stage 2 (exact median) runs redundantly per
+sp member. Values/gradients equal the unsharded pallas path
+(tests/test_parallel.py::TestSpParallelPallas).
 """
 
 from __future__ import annotations

@@ -132,6 +132,11 @@ def _metric_batch_rt(R_row, t, src_neis_raw, tar_neis, lines,
     instead of scatter-adding into the full neighbor array (the hottest op
     of a training step on TPU)."""
 
+    if (cfg.mesh is not None and cfg.backend == "pallas"
+            and dict(cfg.mesh.shape).get("sp", 1) > 1):
+        return _metric_batch_rt_sp(R_row, t, src_neis_raw, tar_neis, lines,
+                                   cfg)
+
     def per(R, tt, n1, n2, l):
         loss, valid = M.intersection_loss_rigid(
             R, tt, n1, n2, l, cfg.kmin, cfg.kmax,
@@ -140,6 +145,50 @@ def _metric_batch_rt(R_row, t, src_neis_raw, tar_neis, lines,
         return jnp.where(valid, loss, 0.0)
 
     return jax.vmap(per)(R_row, t, src_neis_raw, tar_neis, lines)
+
+
+def _metric_batch_rt_sp(R_row, t, src_neis_raw, tar_neis, lines,
+                        cfg: LossConfig, interpret: bool = False):
+    """Line-parallel (sp) execution of the PALLAS rigid metric.
+
+    GSPMD treats the fused kernel as an opaque custom call and gathers its
+    operands (correct but replicated — parallel/mesh.py backend note); this
+    path instead shard_maps the per-line stage (stage-1 kernel + slot
+    reconstruction, ops/metric.py:_rigid_slots_lanemajor) over the mesh's
+    sp axis so each device sweeps only its L/sp line shard, all_gathers the
+    tiny per-line slot records (kmax*6+2 rows of L lanes) over sp, and runs
+    the globally-coupled stage 2 (exact median) redundantly per sp member.
+    Batch stays dp-sharded. Values equal the unsharded pallas path (each
+    line's stage 1 is independent; the gather restores the full line set in
+    order) — asserted by tests/test_parallel.py."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = cfg.mesh
+
+    def local(Rl, tl_, n1l, n2l, ll):
+        def slots(Rr, tt, a, b, l):
+            return M._rigid_slots_lanemajor(Rr, tt, a, b, l, cfg.kmax,
+                                            interpret)
+
+        pts1, pts2, c1, c2 = jax.vmap(slots)(Rl, tl_, n1l, n2l, ll)
+
+        def g(x):  # concat line shards back, in sp order, along lanes
+            return jax.lax.all_gather(x, "sp", axis=x.ndim - 1, tiled=True)
+
+        pts1, pts2, c1, c2 = g(pts1), g(pts2), g(c1), g(c2)
+        losses, valids = jax.vmap(
+            lambda a, b, u, v: M._stage2_lanemajor(a, b, u, v, cfg.kmin,
+                                                   cfg.kmax)
+        )(pts1, pts2, c1, c2)
+        return jnp.where(valids, losses, 0.0)
+
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata, which the default vma checker requires inside shard_map
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp", "sp")),
+        out_specs=P("dp"), check_vma=False)
+    return shard(R_row, t, src_neis_raw, tar_neis, lines)
 
 
 def _flat_neis(neighs):

@@ -341,3 +341,55 @@ class TestPallasUnderMesh:
             vp = jax.jit(lambda a, b, l: loss(a, b, l, "pallas"))(n1, n2, lines)
             vx = jax.jit(lambda a, b, l: loss(a, b, l, "xla"))(n1, n2, lines)
         np.testing.assert_allclose(float(vp), float(vx), rtol=1e-4)
+
+
+class TestSpParallelPallas:
+    @pytest.mark.slow
+    def test_sp_shardmapped_kernel_matches_unsharded(self, mesh8):
+        """The sp-parallel pallas path (shard_mapped per-line stage +
+        all_gather + redundant stage 2, train/losses.py:_metric_batch_rt_sp)
+        must reproduce the unsharded pallas metric's values and gradients."""
+        from a_robust_registration_loss_tpu.ops import geometry as G
+        from a_robust_registration_loss_tpu.ops import lines as LN
+        from a_robust_registration_loss_tpu.se3 import se3
+        from a_robust_registration_loss_tpu.train import losses as L
+
+        rng = np.random.default_rng(3)
+        B = 4
+        pts1 = jnp.asarray(rng.standard_normal((B, 400, 3)).astype(np.float32) * 0.5)
+        pts2 = pts1 + 0.05
+        n1 = jnp.stack([G.sample_neighs(p, 192, 3).reshape(192, 9) for p in pts1])
+        n2 = jnp.stack([G.sample_neighs(p, 192, 3).reshape(192, 9) for p in pts2])
+        lines = jnp.stack([
+            LN.resample_lines(jax.random.PRNGKey(i), jnp.float32(2.0),
+                              pts2[i].mean(0), 1024, pts1[i], pts2[i])
+            for i in range(B)])
+        twists = jnp.asarray(rng.standard_normal((B, 6)).astype(np.float32) * 0.05)
+        cfg = L.LossConfig(n_lines=1024, line_chunk=None, backend="pallas",
+                           mesh=mesh8)
+
+        def total_sharded(ps):
+            R = jnp.stack([se3.exp3(p)[0] for p in ps])
+            tt = jnp.stack([se3.exp3(p)[1] for p in ps])
+            with mesh8:
+                vals = L._metric_batch_rt_sp(R, tt, n1, n2, lines, cfg,
+                                             interpret=True)
+            return jnp.sum(vals), vals
+
+        def total_plain(ps):
+            R = jnp.stack([se3.exp3(p)[0] for p in ps])
+            tt = jnp.stack([se3.exp3(p)[1] for p in ps])
+
+            def per(Rr, t_, a, b, l):
+                loss, valid = M.intersection_loss_rigid(
+                    Rr, t_, a, b, l, backend="pallas", interpret=True)
+                return jnp.where(valid, loss, 0.0)
+            vals = jax.vmap(per)(R, tt, n1, n2, lines)
+            return jnp.sum(vals), vals
+
+        (s1, v1), g1 = jax.value_and_grad(total_sharded, has_aux=True)(twists)
+        (s2, v2), g2 = jax.value_and_grad(total_plain, has_aux=True)(twists)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=5e-3, atol=1e-6)
