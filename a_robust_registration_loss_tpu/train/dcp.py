@@ -261,6 +261,12 @@ def main(argv=None):
                     help="reload the latest checkpoint and run the full "
                          "test_one_epoch artifact pass (metric battery + "
                          "obj dumps + Eval.json, Train_DCP.py:62-230)")
+    ap.add_argument("--init_from_ckpt", default=None,
+                    help="initialize params from ANOTHER experiment's "
+                         "checkpoints (fresh optimizer) — the jax-side "
+                         "pretrained-init workflow (Train_DCP.py:890-893); "
+                         "note --exp_dir's own checkpoints still take "
+                         "precedence when resuming")
     ap.add_argument("--init_from_torch", default=None,
                     help="a reference DCP .pth checkpoint to transplant as "
                          "the initialization (the reference fine-tunes from "
@@ -332,6 +338,21 @@ def main(argv=None):
         sd = {k: v.cpu().numpy() for k, v in sd.items()}
         init_from = transplant.dcp_from_state_dict(sd,
                                                    n_blocks=cfg.model.n_blocks)
+    if args.init_from_ckpt:
+        from a_robust_registration_loss_tpu.utils import load_params_from
+
+        if init_from is not None:
+            ap.error("--init_from_ckpt and --init_from_torch are exclusive")
+        model, optimizer, _, _, _ = make_steps(cfg)
+        b0 = next(iter(train_loader), None)
+        if b0 is None:
+            b0 = next(iter(test_loader))
+        p0 = init_params(model, jax.random.PRNGKey(cfg.fit.seed), b0)
+        init_from = load_params_from(
+            args.init_from_ckpt,
+            {"params": p0, "opt_state": optimizer.init(p0), "epoch": 0})
+        if init_from is None:
+            ap.error(f"no checkpoint under {args.init_from_ckpt}")
     if args.eval_only:
         import os
 

@@ -310,7 +310,18 @@ def main(argv=None):
                  add_noise=args.add_noise, add_density=args.add_density,
                  seed=args.seed)
     else:
-        train(cfg, train_loader, test_loader, mesh=mesh)
+        init_from = None
+        if args.init_from_ckpt:
+            from a_robust_registration_loss_tpu.utils import load_params_from
+
+            model, optimizer, _, _, _ = make_steps(cfg)
+            p0 = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
+            init_from = load_params_from(
+                args.init_from_ckpt,
+                {"params": p0, "opt_state": optimizer.init(p0), "epoch": 0})
+            if init_from is None:
+                ap.error(f"no checkpoint under {args.init_from_ckpt}")
+        train(cfg, train_loader, test_loader, init_from=init_from, mesh=mesh)
 
 
 if __name__ == "__main__":

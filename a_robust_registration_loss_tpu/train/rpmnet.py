@@ -284,6 +284,11 @@ def main(argv=None):
     ap.add_argument("--train_reg_iter", type=int, default=2)
     ap.add_argument("--eval_reg_iter", type=int, default=5)
     ap.add_argument("--pretrain_epochs", type=int, default=0)
+    ap.add_argument("--init_from_ckpt", default=None,
+                    help="initialize params from ANOTHER experiment's "
+                         "checkpoints (fresh optimizer) — the jax-side "
+                         "pretrained-init workflow; --exp_dir's own "
+                         "checkpoints still take precedence when resuming")
     ap.add_argument("--eval_only", action="store_true",
                     help="reload the latest checkpoint and run the eval "
                          "pass with the reference's artifact set "
@@ -399,7 +404,21 @@ def main(argv=None):
         evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
                  epoch=epoch)
     else:
-        train(cfg, train_loader, test_loader, mesh=mesh)
+        init_from = None
+        if args.init_from_ckpt:
+            from a_robust_registration_loss_tpu.utils import load_params_from
+
+            (model, optimizer, _, _, _, _) = make_steps(cfg)
+            b0 = next(iter(train_loader), None)
+            if b0 is None:
+                b0 = next(iter(test_loader))
+            p0 = init_params(model, jax.random.PRNGKey(cfg.fit.seed), b0)
+            init_from = load_params_from(
+                args.init_from_ckpt,
+                {"params": p0, "opt_state": optimizer.init(p0), "epoch": 0})
+            if init_from is None:
+                ap.error(f"no checkpoint under {args.init_from_ckpt}")
+        train(cfg, train_loader, test_loader, init_from=init_from, mesh=mesh)
 
 
 if __name__ == "__main__":

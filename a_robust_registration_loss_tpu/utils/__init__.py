@@ -1,6 +1,7 @@
 """Framework utilities: checkpoint management, observability, timing."""
 
-from a_robust_registration_loss_tpu.utils.checkpoint import CheckPointManager  # noqa: F401
+from a_robust_registration_loss_tpu.utils.checkpoint import (  # noqa: F401
+    CheckPointManager, load_params_from)
 from a_robust_registration_loss_tpu.utils.logging import (  # noqa: F401
     IOStream,
     MetricsWriter,

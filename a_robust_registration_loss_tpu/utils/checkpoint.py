@@ -190,3 +190,24 @@ class CheckPointManager:
         if last_err is not None:
             raise last_err
         return None, None
+
+
+def load_params_from(exp_dir: str, state_template: Any, best: bool = True):
+    """Initialize from ANOTHER experiment's checkpoints — the jax-side
+    equivalent of the reference's load-a-pretrained-checkpoint-then-finetune
+    workflow (Train_DCP.py:890-893; our --init_from_torch covers the torch
+    side). ``exp_dir`` may be the experiment dir or its checkpoints/ subdir;
+    ``state_template`` must be a full {params, opt_state, epoch} example
+    (orbax restores into its structure). Returns the loaded ``params`` (the
+    caller starts a FRESH optimizer over them) or None when the directory
+    holds no checkpoint. Prefers the best-tracked checkpoint, falling back
+    to the latest."""
+    path = exp_dir
+    if os.path.isdir(os.path.join(exp_dir, "checkpoints")):
+        path = os.path.join(exp_dir, "checkpoints")
+    mgr = CheckPointManager(path)
+    if best and mgr.best_step() is not None:
+        state, _ = mgr.load(state_template, best=True)
+    else:
+        state, _ = mgr.load(state_template)
+    return None if state is None else state["params"]

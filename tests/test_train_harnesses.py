@@ -563,3 +563,36 @@ class TestCheckpointResave:
         assert step == 2
         loaded, _ = m.load(st(0), step=1)
         assert float(loaded["params"]["w"][0]) == 1.0
+
+
+class TestLoadParamsFrom:
+    def test_pretrained_init_from_other_experiment(self, tmp_path):
+        """--init_from_ckpt workflow: params load from ANOTHER experiment's
+        checkpoints (best preferred), fresh optimizer is the caller's."""
+        import optax
+
+        from a_robust_registration_loss_tpu.utils import (
+            CheckPointManager, load_params_from)
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+        opt = optax.adam(1e-3)
+        mgr = CheckPointManager(str(tmp_path / "expA" / "checkpoints"),
+                                use_async=False, best_mode="min")
+        mgr.save(3, {"params": params, "opt_state": opt.init(params),
+                     "epoch": 3}, score=0.5)
+        better = jax.tree.map(lambda x: x + 1.0, params)
+        mgr.save(4, {"params": better, "opt_state": opt.init(better),
+                     "epoch": 4}, score=0.1)  # best
+        worse = jax.tree.map(lambda x: x * 2.0, params)
+        mgr.save(5, {"params": worse, "opt_state": opt.init(worse),
+                     "epoch": 5}, score=0.9)
+
+        p0 = jax.tree.map(jnp.zeros_like, params)
+        template = {"params": p0, "opt_state": opt.init(p0), "epoch": 0}
+        # accepts the experiment dir (resolves checkpoints/) and prefers best
+        got = load_params_from(str(tmp_path / "expA"), template)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(better[k]))
+        # empty directory -> None
+        assert load_params_from(str(tmp_path / "empty"), template) is None
