@@ -306,6 +306,47 @@ def reconstruct_intersection_points_via(point_neis, inter: Intersections,
     return jnp.where((inter.slot_idx < F)[..., None], pts, 0.0)
 
 
+@jax.custom_vjp
+def _slot_points_kernel(point_neis, kernel_pts, slot_idx, slot_w):
+    """Slot points whose VALUE is the kernel-gathered reconstruction and
+    whose GRADIENT w.r.t. ``point_neis`` is exactly the gather path's
+    (reconstruct_intersection_points): w/nnei scatter-added into the
+    selected rows. The pallas stage-1 kernel already gathers the slot
+    coordinates exactly (emit_pts: one fp32-HIGHEST MXU matmul per slot),
+    so recomputing them with an XLA random-access row gather in the forward
+    pass (~1.6 ms at L=20k on TPU) is pure overhead — this moves that
+    gather's cost entirely into the backward scatter that autodiff pays
+    anyway.
+
+    point_neis: (F, nnei*3); kernel_pts: (L, kmax, 3) — the masked weighted
+    mean sum_i w_i p_i / nnei from the kernel's gathered coordinates;
+    slot_idx/slot_w: the (detached) Intersections fields. Gradients flow
+    ONLY through point_neis (weights/labels are detached in the reference:
+    loss.py:92,107-112)."""
+    return kernel_pts
+
+
+def _slot_points_kernel_fwd(point_neis, kernel_pts, slot_idx, slot_w):
+    return kernel_pts, (point_neis, slot_idx, slot_w)
+
+
+def _slot_points_kernel_bwd(res, cot):
+    point_neis, slot_idx, slot_w = res
+    F = point_neis.shape[0]
+    nnei = point_neis.shape[1] // 3
+    filled = slot_idx < F
+    # (L, kmax, nnei, 3) contributions: w_i/nnei * cotangent, zero on empty
+    contrib = jnp.where(filled[..., None, None],
+                        slot_w[..., None] * cot[..., None, :], 0.0) / nnei
+    idx = jnp.minimum(slot_idx, F - 1)
+    gP = jnp.zeros((F, nnei, 3), cot.dtype).at[idx].add(contrib)
+    return (gP.reshape(point_neis.shape), jnp.zeros_like(cot),
+            None, jnp.zeros_like(slot_w))
+
+
+_slot_points_kernel.defvjp(_slot_points_kernel_fwd, _slot_points_kernel_bwd)
+
+
 def intersection_loss_transformed(apply_fn, point_neis1, point_neis2, lines,
                                   kmin: int = 1, kmax: int = 4,
                                   line_chunk: Optional[int] = None,
@@ -323,16 +364,23 @@ def intersection_loss_transformed(apply_fn, point_neis1, point_neis2, lines,
         apply_fn(point_neis1.reshape(-1, 3)).reshape(point_neis1.shape)
     )
     if backend == "pallas":
-        (inter1, _), (inter2, _) = _find_intersections_pallas_pair(
+        (inter1, _), (inter2, recon2) = _find_intersections_pallas_pair(
             neis1_t, point_neis2, lines, kmax, interpret,
-            emit_recon=False)
+            emit_recon=True)
+        # cloud 2's slot points come straight from the kernel's exact
+        # gather (gradient via _slot_points_kernel's scatter); cloud 1's
+        # must still gather the RAW neighborhoods so apply_fn is traced on
+        # them (the kernel only ever sees the already-transformed cloud).
+        nnei = point_neis2.shape[1] // 3
+        pts2 = _slot_points_kernel(point_neis2, recon2 / nnei,
+                                   inter2.slot_idx, inter2.slot_w)
     else:
         inter1 = find_intersections(neis1_t, lines, kmax, line_chunk, backend,
                                     interpret)
         inter2 = find_intersections(point_neis2, lines, kmax, line_chunk,
                                     backend, interpret)
+        pts2 = reconstruct_intersection_points(point_neis2, inter2)
     pts1 = reconstruct_intersection_points_via(point_neis1, inter1, apply_fn)
-    pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)
 
 
@@ -585,16 +633,26 @@ def intersection_loss(point_neis1, point_neis2, lines, kmin: int = 1,
     ``jax.vmap`` over this function, preserving the per-sample contract.
     """
     if backend == "pallas":
-        (inter1, _), (inter2, _) = _find_intersections_pallas_pair(
+        # emit_pts mode: the kernel gathers the slot coordinates exactly
+        # (MXU one-hot matmul); value comes from that reconstruction, and
+        # _slot_points_kernel routes the gradient through the same
+        # w/nnei-scatter the XLA gather path would produce — the forward
+        # row gather disappears entirely.
+        (inter1, recon1), (inter2, recon2) = _find_intersections_pallas_pair(
             point_neis1, point_neis2, lines, kmax, interpret,
-            emit_recon=False)
+            emit_recon=True)
+        nnei = point_neis1.shape[1] // 3
+        pts1 = _slot_points_kernel(point_neis1, recon1 / nnei,
+                                   inter1.slot_idx, inter1.slot_w)
+        pts2 = _slot_points_kernel(point_neis2, recon2 / nnei,
+                                   inter2.slot_idx, inter2.slot_w)
     else:
         inter1 = find_intersections(point_neis1, lines, kmax, line_chunk,
                                     backend, interpret)
         inter2 = find_intersections(point_neis2, lines, kmax, line_chunk,
                                     backend, interpret)
-    pts1 = reconstruct_intersection_points(point_neis1, inter1)
-    pts2 = reconstruct_intersection_points(point_neis2, inter2)
+        pts1 = reconstruct_intersection_points(point_neis1, inter1)
+        pts2 = reconstruct_intersection_points(point_neis2, inter2)
     return intersection_loss_from_slots(pts1, inter1, pts2, inter2, kmin, kmax)
 
 

@@ -10,9 +10,14 @@ so wall/dispatch conflates device time with host RTT. Worse, in a
 fresh process ``block_until_ready`` returns EARLY, so un-fetched wall
 timings under-report arbitrarily.
 
-``device_ms`` instead runs the function ``iters`` times inside ONE
-``lax.scan`` dispatch, fetch-brackets the result (true completion), and
-divides by ``iters`` after subtracting one measured fetch RTT.
+``device_ms`` instead runs the function inside ONE ``lax.scan`` dispatch,
+fetch-brackets the result (true completion), and measures at TWO loop
+lengths (``iters`` and ``2*iters``): per-iteration device time is
+``(wall_2 - wall_1) / iters``, so the constant per-dispatch cost (tunnel
+RTT + fetch) cancels exactly instead of being estimated and subtracted —
+the earlier subtract-one-measured-RTT scheme clamped sub-millisecond
+functions to 0.0 whenever an RTT spike exceeded the whole loop's wall.
+Each length takes the best of ``reps`` timed runs to reject RTT spikes.
 
 Two compiler escape hatches must be closed so the scan really evaluates the
 body ``iters`` times:
@@ -33,7 +38,8 @@ from __future__ import annotations
 import time
 
 
-def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
+def device_ms(fn, *args, iters: int = 50, warmup: bool = True,
+              reps: int = 3):
     """Average device milliseconds per evaluation of ``fn(*args)``.
 
     fn must be a traceable (jit-able) function of device/numpy arrays
@@ -54,7 +60,7 @@ def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
             return "b"
         return "x"
 
-    def loop(z, eps, zi, *fargs):
+    def loop(n, z, eps, zi, *fargs):
         def body(c, i):
             iz = i * zi  # runtime 0, loop-variant, unprovable at compile time
 
@@ -78,24 +84,29 @@ def device_ms(fn, *args, iters: int = 50, warmup: bool = True):
                 elif k in ("i", "b"):
                     s = s + jnp.mean(x.astype(jnp.float32))
             return c + eps * s, ()
-        c, _ = jax.lax.scan(body, z, jnp.arange(iters, dtype=jnp.int32))
+        c, _ = jax.lax.scan(body, z, jnp.arange(n, dtype=jnp.int32))
         return c
 
-    jloop = jax.jit(loop)
+    jloop = jax.jit(loop, static_argnums=0)
     z = jnp.float32(0.0)
     eps = jnp.float32(0.0)
     zi = jnp.int32(0)
 
-    float(jloop(z, eps, zi, *args))  # warmup + compile + enter sync mode
+    # compile both loop lengths + enter the tunnel's synchronous-fetch mode
+    float(jloop(iters, z, eps, zi, *args))
+    float(jloop(2 * iters, z, eps, zi, *args))
     if warmup:
-        float(jloop(z, eps, zi, *args))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(z + 0.0)
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[1]
-    t0 = time.perf_counter()
-    float(jloop(z, eps, zi, *args))
-    wall = time.perf_counter() - t0
-    return max(wall - rtt, 0.0) / iters * 1000.0
+        float(jloop(iters, z, eps, zi, *args))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            float(jloop(n, z, eps, zi, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    wall_1 = timed(iters)
+    wall_2 = timed(2 * iters)
+    # per-dispatch constants (tunnel RTT + fetch) cancel in the difference
+    return max(wall_2 - wall_1, 0.0) / iters * 1000.0

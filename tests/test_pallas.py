@@ -526,3 +526,63 @@ class TestResampleCoinUnbiased:
         # coins flip ~25-30% of individual accepts, but must not shift the
         # spatial measure)
         np.testing.assert_allclose(hp, hx, rtol=0.15, atol=0.01)
+
+
+class TestSlotPointsKernelVJP:
+    """_slot_points_kernel: the generic pallas path's forward now takes its
+    slot points straight from the kernel's exact MXU gather (emit_pts), with
+    a custom VJP that reproduces the gather path's gradient (w/nnei
+    scatter-add into the selected rows). The two must agree EXACTLY when fed
+    the same Intersections — the only difference is where the gather runs."""
+
+    def _case(self, seed=3, F=64, L=48, kmax=4):
+        rng = np.random.default_rng(seed)
+        P = jnp.asarray(rng.standard_normal((F, 9)), jnp.float32)
+        idx = jnp.asarray(
+            np.where(rng.random((L, kmax)) < 0.6,
+                     rng.integers(0, F, (L, kmax)), F), jnp.int32)
+        w = rng.random((L, kmax, 3)).astype(np.float32)
+        w = jnp.asarray(w / w.sum(-1, keepdims=True))
+        w = jnp.where((idx < F)[..., None], w, 0.0)
+        return P, idx, w
+
+    def test_value_is_kernel_pts(self):
+        P, idx, w = self._case()
+        inter = M.Intersections(jnp.sum((idx < P.shape[0]), -1), idx, w)
+        kp = M.reconstruct_intersection_points(P, inter)
+        out = M._slot_points_kernel(P, kp, idx, w)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(kp))
+
+    def test_grad_matches_gather_path_exactly(self):
+        P, idx, w = self._case()
+        inter = M.Intersections(jnp.sum((idx < P.shape[0]), -1), idx, w)
+        cot_seed = jnp.asarray(
+            np.random.default_rng(9).standard_normal(
+                (idx.shape[0], idx.shape[1], 3)), jnp.float32)
+
+        def via_gather(p):
+            return jnp.sum(M.reconstruct_intersection_points(p, inter)
+                           * cot_seed)
+
+        def via_kernel(p):
+            kp = jax.lax.stop_gradient(
+                M.reconstruct_intersection_points(p, inter))
+            return jnp.sum(M._slot_points_kernel(p, kp, idx, w) * cot_seed)
+
+        g_g = np.asarray(jax.grad(via_gather)(P))
+        g_k = np.asarray(jax.grad(via_kernel)(P))
+        np.testing.assert_allclose(g_k, g_g, rtol=1e-6, atol=1e-7)
+
+    def test_grad_under_vmap(self):
+        P, idx, w = self._case()
+        inter = M.Intersections(jnp.sum((idx < P.shape[0]), -1), idx, w)
+        kp = M.reconstruct_intersection_points(P, inter)
+
+        def f(p):
+            return jnp.sum(M._slot_points_kernel(p, kp, idx, w) ** 2)
+
+        batch = jnp.stack([P, P * 1.5])
+        g = jax.vmap(jax.grad(f))(batch)
+        np.testing.assert_allclose(np.asarray(g[0]),
+                                   np.asarray(jax.grad(f)(P)),
+                                   rtol=1e-6, atol=0)
