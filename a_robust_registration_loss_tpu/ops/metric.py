@@ -152,7 +152,8 @@ def _pallas_outputs_to_inter(point_neis, outputs, lines=None):
         w = d / jnp.sum(d, -1, keepdims=True)
         w = jnp.where(filled[..., None], w, 0.0)
     else:
-        w = jnp.zeros(slot_idx.shape + (NNEI_DEFAULT,), point_neis.dtype)
+        w = jnp.zeros(slot_idx.shape + (point_neis.shape[1] // 3,),
+                      point_neis.dtype)
     recon = None
     if slot_recon is not None:
         recon = jnp.where(filled[..., None], slot_recon, 0.0)
@@ -211,13 +212,22 @@ def _find_intersections_pallas_pair(point_neis1, point_neis2, lines,
 
 
 def neighborhood_delta(point_neis):
-    """Locally adaptive threshold: mean pairwise spacing of each nnei=3
-    neighborhood (reference: loss.py:94-104). point_neis: (F, 9) -> (F,)."""
-    p0, p1, p2 = point_neis[:, 0:3], point_neis[:, 3:6], point_neis[:, 6:9]
-    d01 = jnp.linalg.norm(p1 - p0, axis=-1)
-    d02 = jnp.linalg.norm(p2 - p0, axis=-1)
-    d12 = jnp.linalg.norm(p1 - p2, axis=-1)
-    return (d01 + d02 + d12) / 3.0
+    """Locally adaptive threshold: mean pairwise spacing of each
+    neighborhood (reference: loss.py:94-104, nnei=3 there — its only
+    value). point_neis: (F, nnei*3) -> (F,). General nnei takes the mean
+    over all nnei*(nnei-1)/2 pairwise distances; the nnei=3 branch keeps
+    the reference's exact 3-term summation order for golden bit-parity."""
+    nnei = point_neis.shape[1] // 3
+    if nnei == 3:
+        p0, p1, p2 = point_neis[:, 0:3], point_neis[:, 3:6], point_neis[:, 6:9]
+        d01 = jnp.linalg.norm(p1 - p0, axis=-1)
+        d02 = jnp.linalg.norm(p2 - p0, axis=-1)
+        d12 = jnp.linalg.norm(p1 - p2, axis=-1)
+        return (d01 + d02 + d12) / 3.0
+    P = point_neis.reshape(point_neis.shape[0], nnei, 3)
+    d = jnp.linalg.norm(P[:, :, None, :] - P[:, None, :, :], axis=-1)
+    iu, ju = jnp.triu_indices(nnei, k=1)
+    return jnp.mean(d[:, iu, ju], axis=-1)
 
 
 def find_intersections(point_neis, lines, kmax: int = 4,
@@ -450,28 +460,28 @@ def _rigid_slots_lanemajor(R, t, point_neis1, point_neis2, lines, kmax: int,
     dirs, x0 = ll[0:3, :], ll[3:6, :]  # (3, Lp) each
 
     def recon_rows(P, cnt):
-        """(kmax*9, Lp) gathered slot coords -> (kmax*3, Lp) weighted
+        """(kmax*3*nnei, Lp) gathered slot coords -> (kmax*3, Lp) weighted
         reconstruction sum_i w_i p_i, masked to 0 on empty slots. Same
         arithmetic as _pallas_outputs_to_inter's emit_pts branch."""
         rows = []
         for s in range(kmax):
             d = []
-            for i in range(NNEI_DEFAULT):
+            for i in range(nnei):
                 d_ac = jnp.zeros_like(x0[0])
                 proj = jnp.zeros_like(x0[0])
                 for c in range(3):
-                    diff = P[s * 9 + i * 3 + c] - x0[c]
+                    diff = P[(s * nnei + i) * 3 + c] - x0[c]
                     d_ac = d_ac + diff * diff
                     proj = proj + diff * dirs[c]
                 d.append(jnp.sqrt(jnp.maximum(d_ac - proj * proj + 2e-4,
                                               0.0)))
-            dsum = d[0] + d[1] + d[2]
-            w = [d[i] / dsum for i in range(NNEI_DEFAULT)]
+            dsum = sum(d)
+            w = [d[i] / dsum for i in range(nnei)]
             filled = s < jnp.minimum(cnt, kmax)
             for c in range(3):
                 acc = jnp.zeros_like(x0[0])
-                for i in range(NNEI_DEFAULT):
-                    acc = acc + w[i] * P[s * 9 + i * 3 + c]
+                for i in range(nnei):
+                    acc = acc + w[i] * P[(s * nnei + i) * 3 + c]
                 rows.append(jnp.where(filled, acc, 0.0))
         return rows  # list of kmax*3 (Lp,) rows
 

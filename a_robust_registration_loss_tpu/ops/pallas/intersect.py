@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NNEI = 3
+NNEI = 3   # the reference's only neighborhood size (loss.py:473); the
+           # kernel itself is general — nnei is derived from input shapes
 KMAX = 4  # default slot capacity (every reference call site uses (1,1,5,5))
 
 
@@ -52,7 +53,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
+def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int, nnei: int,
             emit_d2: bool, emit_recon: bool, emit_pts: bool):
     """Grid: (..., line_tiles, face_tiles); the face tile index (grid axis
     ``face_axis``, always last) advances fastest, so the per-line
@@ -62,13 +63,15 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
     F sweep.
 
     lines_ref: (8, TL)  rows 0-2 = direction, 3-5 = origin (6,7 padding)
-    p_ref:     (16, TF) rows 0-8 = the 3 neighbors' xyz, row 9 = squared
-               threshold (-inf on padded faces encodes face validity; rest
-               of the rows are layout padding)
+    p_ref:     (nrows, TF) rows 0..3*nnei-1 = the nnei neighbors' xyz,
+               row 3*nnei = squared threshold (-inf on padded faces encodes
+               face validity; rest of the rows are layout padding; nrows =
+               3*nnei+1 rounded up to 8 sublanes — 16 at the reference's
+               nnei=3)
     outputs (per line tile): count (1, TL), slot_idx (KMAX, TL),
-               [slot_d (KMAX*NNEI, TL) if emit_d2],
+               [slot_d (KMAX*nnei, TL) if emit_d2],
                [slot_r (KMAX*3, TL) if emit_recon],
-               [slot_p (KMAX*9, TL) if emit_pts]
+               [slot_p (KMAX*3*nnei, TL) if emit_pts]
     """
     refs = list(refs)
     count_ref, slot_idx_ref = refs.pop(0), refs.pop(0)
@@ -96,13 +99,13 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
         if emit_pts:
             p_acc[:] = jnp.zeros_like(p_acc)
 
-    thr2 = p_ref[9, :]  # (TF,) squared threshold (delta*1.731/2)^2 - 2e-4
+    thr2 = p_ref[3 * nnei, :]  # (TF,) squared threshold (delta*1.731/2)^2 - 2e-4
 
     # d_perp^2(f, l, i) = |p - x0|^2 - ((p - x0) . dir)^2, accumulated per
     # component to match the reference's direct (un-expanded) rounding.
     label = None
     d2 = []
-    for i in range(NNEI):
+    for i in range(nnei):
         d_ac = jnp.zeros((TF, TL), jnp.float32)
         proj = jnp.zeros((TF, TL), jnp.float32)
         for c in range(3):
@@ -123,13 +126,13 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
         # max(., 0) guards the sqrt against fp-cancellation negatives on
         # padded or far faces (never selected, but NaN * 0 would poison the
         # reductions); exact no-op for the selected faces (d2 + 2e-4 > 0).
-        d = [jnp.sqrt(jnp.maximum(d2[i] + 2e-4, 0.0)) for i in range(NNEI)]
-        dinv = 1.0 / (d[0] + d[1] + d[2])
-        w = [d[i] * dinv for i in range(NNEI)]  # one divide, three mults
+        d = [jnp.sqrt(jnp.maximum(d2[i] + 2e-4, 0.0)) for i in range(nnei)]
+        dinv = 1.0 / sum(d)
+        w = [d[i] * dinv for i in range(nnei)]  # one divide, nnei mults
         wp = []
         for c in range(3):
             acc = jnp.zeros((TF, TL), jnp.float32)
-            for i in range(NNEI):
+            for i in range(nnei):
                 acc += w[i] * p_ref[3 * i + c, :][:, None]
             wp.append(acc)
 
@@ -155,14 +158,15 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
 
     if emit_pts:
         # per-slot gathered coordinates as ONE MXU matmul per slot:
-        # out[q, l] = sum_f A[q, f] * m[f, l] with A = [9 neighbor coords;
-        # face id] — m is one-hot over f per line, so the product is an
-        # EXACT gather (fp32 accumulation of zeros plus one addend), and the
-        # contraction rides the MXU instead of 10 VPU reduces per slot.
+        # out[q, l] = sum_f A[q, f] * m[f, l] with A = [3*nnei neighbor
+        # coords; face id] — m is one-hot over f per line, so the product is
+        # an EXACT gather (fp32 accumulation of zeros plus one addend), and
+        # the contraction rides the MXU instead of 3*nnei+1 VPU reduces per
+        # slot.
         f_row = (j * TF
                  + jax.lax.broadcasted_iota(jnp.int32, (1, TF), 1)
                  ).astype(jnp.float32)
-        A = jnp.concatenate([p_ref[0:9, :], f_row], axis=0)  # (10, TF)
+        A = jnp.concatenate([p_ref[0:3 * nnei, :], f_row], axis=0)
 
     # Slot accumulation is pure +=: each (slot, line) receives a nonzero
     # one-hot contribution from at most ONE face across the entire sweep
@@ -179,16 +183,16 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
             # the on-chip gate; the 3-pass fp32 product keeps the gather
             # exact and is still negligible MXU work next to the rank matmul
             out = jnp.dot(A, m, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)  # (10, TL)
-            for q in range(9):
-                p_acc[s * 9 + q, :] += out[q, :]
-            idx_acc[s, :] += out[9, :].astype(jnp.int32)
+                          precision=jax.lax.Precision.HIGHEST)  # (3*nnei+1, TL)
+            for q in range(3 * nnei):
+                p_acc[s * 3 * nnei + q, :] += out[q, :]
+            idx_acc[s, :] += out[3 * nnei, :].astype(jnp.int32)
         else:
             idx_s = jnp.sum(m * face_ids, axis=0)
             idx_acc[s, :] += idx_s.astype(jnp.int32)
         if emit_d2:
-            for i in range(NNEI):
-                d_acc[s * NNEI + i, :] += jnp.sum(m * d2[i], axis=0)
+            for i in range(nnei):
+                d_acc[s * nnei + i, :] += jnp.sum(m * d2[i], axis=0)
         if emit_recon:
             for c in range(3):
                 r_acc[s * 3 + c, :] += jnp.sum(m * wp[c], axis=0)
@@ -207,16 +211,23 @@ def _kernel(lines_ref, p_ref, *refs, face_axis: int, kmax: int,
             slot_p_ref[:] = p_acc[:]
 
 
+def _face_rows(nnei):
+    """Sublane row count of the packed face tensor: 3*nnei coordinate rows
+    + 1 threshold row, rounded up to 8 (16 at the reference's nnei=3)."""
+    return _round_up(3 * nnei + 1, 8)
+
+
 def _pack_faces(point_neis, delta, Fp):
-    """(F, 9) neighborhoods + (F,) deltas -> the (16, Fp) face tensor: rows
-    0-8 neighbors, row 9 squared threshold (-inf on padded faces, which
-    keeps their labels False with no extra mask)."""
-    F = point_neis.shape[0]
+    """(F, 3*nnei) neighborhoods + (F,) deltas -> the (nrows, Fp) face
+    tensor: rows 0..3*nnei-1 neighbors, row 3*nnei squared threshold (-inf
+    on padded faces, which keeps their labels False with no extra mask)."""
+    F, w = point_neis.shape
+    nnei = w // 3
     thr = (delta * (1.731 / 2.0)) ** 2 - 2e-4
-    p_packed = jnp.zeros((16, Fp), jnp.float32)
-    p_packed = p_packed.at[0:9, :F].set(point_neis.T)
-    p_packed = p_packed.at[9, :F].set(thr)
-    p_packed = p_packed.at[9, F:].set(-jnp.inf)
+    p_packed = jnp.zeros((_face_rows(nnei), Fp), jnp.float32)
+    p_packed = p_packed.at[0:w, :F].set(point_neis.T)
+    p_packed = p_packed.at[w, :F].set(thr)
+    p_packed = p_packed.at[w, F:].set(-jnp.inf)
     return p_packed
 
 
@@ -230,20 +241,21 @@ def _pack_lines(lines, Lp):
     return l_packed
 
 
-def _specs_and_shapes(n_cloud, tl, tf, Lp, kmax, emit_d2, emit_recon,
+def _specs_and_shapes(n_cloud, tl, tf, Lp, kmax, nnei, emit_d2, emit_recon,
                       emit_pts):
     """(in_specs, out_specs, out_shapes, scratch) for a grid whose last two
     axes are (line_tiles, face_tiles); ``n_cloud`` adds a leading (slowest)
     cloud grid axis (0 = none, i.e. the single-cloud call). The paired
     variant keeps every array 2-D by stacking clouds along the row
-    (sublane) axis — the face tensor becomes (n_cloud*16, Fp) with block
+    (sublane) axis — the face tensor becomes (n_cloud*nrows, Fp) with block
     row-index c, and each output becomes (n_cloud*rows, Lp) likewise — so
     the kernel body is identical for both entry points."""
+    nrows = _face_rows(nnei)
     if n_cloud:
         n_lt = Lp // tl
         line_spec = pl.BlockSpec((8, tl), lambda c, i, j: (0, i),
                                  memory_space=pltpu.VMEM)
-        face_spec = pl.BlockSpec((16, tf), lambda c, i, j: (c, j),
+        face_spec = pl.BlockSpec((nrows, tf), lambda c, i, j: (c, j),
                                  memory_space=pltpu.VMEM)
 
         # outputs stack the clouds along the LINE (lane) axis — row-axis
@@ -259,7 +271,7 @@ def _specs_and_shapes(n_cloud, tl, tf, Lp, kmax, emit_d2, emit_recon,
     else:
         line_spec = pl.BlockSpec((8, tl), lambda i, j: (0, i),
                                  memory_space=pltpu.VMEM)
-        face_spec = pl.BlockSpec((16, tf), lambda i, j: (0, j),
+        face_spec = pl.BlockSpec((nrows, tf), lambda i, j: (0, j),
                                  memory_space=pltpu.VMEM)
 
         def out_spec(rows):
@@ -273,21 +285,21 @@ def _specs_and_shapes(n_cloud, tl, tf, Lp, kmax, emit_d2, emit_recon,
     out_shapes = [out_shape(1, jnp.int32), out_shape(kmax, jnp.int32)]
     scratch = [pltpu.VMEM((1, tl), jnp.int32), pltpu.VMEM((kmax, tl), jnp.int32)]
     if emit_d2:
-        out_specs.append(out_spec(kmax * NNEI))
-        out_shapes.append(out_shape(kmax * NNEI, jnp.float32))
-        scratch.append(pltpu.VMEM((kmax * NNEI, tl), jnp.float32))
+        out_specs.append(out_spec(kmax * nnei))
+        out_shapes.append(out_shape(kmax * nnei, jnp.float32))
+        scratch.append(pltpu.VMEM((kmax * nnei, tl), jnp.float32))
     if emit_recon:
         out_specs.append(out_spec(kmax * 3))
         out_shapes.append(out_shape(kmax * 3, jnp.float32))
         scratch.append(pltpu.VMEM((kmax * 3, tl), jnp.float32))
     if emit_pts:
-        out_specs.append(out_spec(kmax * 9))
-        out_shapes.append(out_shape(kmax * 9, jnp.float32))
-        scratch.append(pltpu.VMEM((kmax * 9, tl), jnp.float32))
+        out_specs.append(out_spec(kmax * 3 * nnei))
+        out_shapes.append(out_shape(kmax * 3 * nnei, jnp.float32))
+        scratch.append(pltpu.VMEM((kmax * 3 * nnei, tl), jnp.float32))
     return [line_spec, face_spec], out_specs, out_shapes, scratch
 
 
-def _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=None,
+def _unpack(outs, L, kmax, nnei, emit_d2, emit_recon, emit_pts, cloud=None,
             Lp=None):
     """Kernel outputs -> (count (L,), slot_idx (L, KMAX), slot_d2 or None,
     slot_recon or None, slot_pts or None), optionally slicing a cloud of
@@ -307,11 +319,11 @@ def _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=None,
     slot_recon = None
     slot_pts = None
     if emit_d2:
-        slot_d2 = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, NNEI)
+        slot_d2 = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, nnei)
     if emit_recon:
         slot_recon = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, 3)
     if emit_pts:
-        slot_pts = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, NNEI, 3)
+        slot_pts = outs.pop(0)[:, lo:lo + L].T.reshape(L, kmax, nnei, 3)
     return count, slot_idx, slot_d2, slot_recon, slot_pts
 
 
@@ -323,28 +335,30 @@ def intersect_stage1(point_neis, lines, delta, *, kmax: int = KMAX,
                      tf: int = 128, emit_d2: bool = True,
                      emit_recon: bool = True, emit_pts: bool = False,
                      interpret: bool = False):
-    """Fused stage 1. point_neis (F, 9), lines (L, 6), delta (F,) adaptive
-    thresholds. Returns (count (L,) int32, slot_idx (L, 4) int32 with 2**30
-    for empty, slot_d2 (L, 4, 3) raw perpendicular d^2 values *without* the
-    +2e-4 which the caller re-adds under sqrt — or None when emit_d2=False,
-    slot_recon (L, 4, 3) — the in-kernel weighted reconstruction
-    sum_i w_i p_i per slot — or None when emit_recon=False,
-    slot_pts (L, 4, 3, 3) — the raw gathered neighbor coordinates per slot
-    (lets consumers build weights + reconstruction outside without the slow
-    XLA row-gather AND without the kernel's dense per-(face, line) weight
-    math) — or None when emit_pts=False)."""
+    """Fused stage 1. point_neis (F, 3*nnei), lines (L, 6), delta (F,)
+    adaptive thresholds. Returns (count (L,) int32, slot_idx (L, kmax) int32
+    with 2**30 for empty, slot_d2 (L, kmax, nnei) raw perpendicular d^2
+    values *without* the +2e-4 which the caller re-adds under sqrt — or None
+    when emit_d2=False, slot_recon (L, kmax, 3) — the in-kernel weighted
+    reconstruction sum_i w_i p_i per slot — or None when emit_recon=False,
+    slot_pts (L, kmax, nnei, 3) — the raw gathered neighbor coordinates per
+    slot (lets consumers build weights + reconstruction outside without the
+    slow XLA row-gather AND without the kernel's dense per-(face, line)
+    weight math) — or None when emit_pts=False)."""
     point_neis = jax.lax.stop_gradient(point_neis)
     lines = jax.lax.stop_gradient(lines)
     F = point_neis.shape[0]
+    nnei = point_neis.shape[1] // 3
     L = lines.shape[0]
     Fp = _round_up(F, tf)
     Lp = _round_up(L, tl)
 
     in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
-        0, tl, tf, Lp, kmax, emit_d2, emit_recon, emit_pts)
+        0, tl, tf, Lp, kmax, nnei, emit_d2, emit_recon, emit_pts)
     grid = (Lp // tl, Fp // tf)
     outs = pl.pallas_call(
-        functools.partial(_kernel, face_axis=1, kmax=kmax, emit_d2=emit_d2,
+        functools.partial(_kernel, face_axis=1, kmax=kmax, nnei=nnei,
+                          emit_d2=emit_d2,
                           emit_recon=emit_recon, emit_pts=emit_pts),
         grid=grid,
         in_specs=in_specs,
@@ -353,7 +367,7 @@ def intersect_stage1(point_neis, lines, delta, *, kmax: int = KMAX,
         scratch_shapes=scratch,
         interpret=interpret,
     )(_pack_lines(lines, Lp), _pack_faces(point_neis, delta, Fp))
-    return _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts)
+    return _unpack(outs, L, kmax, nnei, emit_d2, emit_recon, emit_pts)
 
 
 def _pair_call(point_neis1, point_neis2, lines, delta1, delta2, kmax, tl,
@@ -364,17 +378,19 @@ def _pair_call(point_neis1, point_neis2, lines, delta1, delta2, kmax, tl,
     point_neis1 = jax.lax.stop_gradient(point_neis1)
     point_neis2 = jax.lax.stop_gradient(point_neis2)
     lines = jax.lax.stop_gradient(lines)
+    nnei = point_neis1.shape[1] // 3
     Fp = _round_up(max(point_neis1.shape[0], point_neis2.shape[0]), tf)
     Lp = _round_up(lines.shape[0], tl)
 
     p = jnp.concatenate([_pack_faces(point_neis1, delta1, Fp),
-                         _pack_faces(point_neis2, delta2, Fp)])  # (32, Fp)
+                         _pack_faces(point_neis2, delta2, Fp)])  # (2*nrows, Fp)
 
     in_specs, out_specs, out_shapes, scratch = _specs_and_shapes(
-        2, tl, tf, Lp, kmax, emit_d2, emit_recon, emit_pts)
+        2, tl, tf, Lp, kmax, nnei, emit_d2, emit_recon, emit_pts)
     grid = (2, Lp // tl, Fp // tf)
     outs = pl.pallas_call(
-        functools.partial(_kernel, face_axis=2, kmax=kmax, emit_d2=emit_d2,
+        functools.partial(_kernel, face_axis=2, kmax=kmax, nnei=nnei,
+                          emit_d2=emit_d2,
                           emit_recon=emit_recon, emit_pts=emit_pts),
         grid=grid,
         in_specs=in_specs,
@@ -404,13 +420,14 @@ def intersect_stage1_pair(point_neis1, point_neis2, lines, delta1, delta2, *,
     slot_pts | None) tuples, bitwise identical to two ``intersect_stage1``
     calls."""
     L = lines.shape[0]
+    nnei = point_neis1.shape[1] // 3
     outs, Lp = _pair_call(point_neis1, point_neis2, lines, delta1, delta2,
                           kmax, tl, tf, emit_d2, emit_recon, emit_pts,
                           interpret)
-    return (_unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=0,
-                    Lp=Lp),
-            _unpack(outs, L, kmax, emit_d2, emit_recon, emit_pts, cloud=1,
-                    Lp=Lp))
+    return (_unpack(outs, L, kmax, nnei, emit_d2, emit_recon, emit_pts,
+                    cloud=0, Lp=Lp),
+            _unpack(outs, L, kmax, nnei, emit_d2, emit_recon, emit_pts,
+                    cloud=1, Lp=Lp))
 
 
 def intersect_stage1_pair_lanemajor(point_neis1, point_neis2, lines, delta1,
@@ -420,7 +437,7 @@ def intersect_stage1_pair_lanemajor(point_neis1, point_neis2, lines, delta1,
     """Raw lane-major paired stage 1 in pts mode, for consumers that stay
     lane-major end to end (ops/metric.py's rigid loss): returns
     (count (1, 2*Lp) int32, slot_idx (kmax, 2*Lp) int32 — 0 on empty slots,
-    slot_pts (kmax*9, 2*Lp) f32, packed_lines (8, Lp), Lp) where cloud c
+    slot_pts (kmax*3*nnei, 2*Lp) f32, packed_lines (8, Lp), Lp) where cloud c
     occupies lanes [c*Lp, (c+1)*Lp). packed_lines is the kernel's own line
     input (rows 0-2 direction, 3-5 origin), shared so the caller pays no
     re-pack."""

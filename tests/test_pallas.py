@@ -442,6 +442,81 @@ class TestKmaxGeneralization:
         np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
 
 
+class TestNneiGeneralization:
+    """The kernel derives the neighborhood size from the input shape (the
+    reference only ever uses nnei=3, loss.py:473 — but the XLA path is
+    general, so the pallas backend must be too; round-2 frontier item).
+    Covers the packed face-row layout (3*nnei+1 rounded to 8 sublanes), the
+    emit_pts gather rows, and the lane-major rigid reconstruction."""
+
+    @staticmethod
+    def _problem(nnei, seed=23, f=180, n_lines=200):
+        rng = np.random.default_rng(seed)
+        ctr = rng.standard_normal((f, 1, 3)).astype(np.float32)
+
+        def mk():
+            n = ctr + 0.08 * rng.standard_normal((f, nnei, 3)).astype(np.float32)
+            return jnp.asarray(n.reshape(f, nnei * 3))
+
+        lines = np.concatenate(
+            [rng.standard_normal((n_lines, 3)),
+             0.3 * rng.standard_normal((n_lines, 3))], -1).astype(np.float32)
+        lines[:, :3] /= np.linalg.norm(lines[:, :3], axis=-1, keepdims=True)
+        return mk(), mk(), jnp.asarray(lines)
+
+    @pytest.mark.parametrize("nnei", [
+        2, pytest.param(5, marks=pytest.mark.slow)])
+    def test_stage1_any_nnei(self, nnei):
+        n1, _, lj = self._problem(nnei)
+        ref = M.find_intersections(n1, lj, kmax=4, backend="xla")
+        got = M.find_intersections(n1, lj, kmax=4, backend="pallas",
+                                   interpret=True)
+        assert int(np.asarray(ref.count).sum()) > 0  # non-trivial problem
+        np.testing.assert_array_equal(np.asarray(got.count),
+                                      np.asarray(ref.count))
+        np.testing.assert_array_equal(np.asarray(got.slot_idx),
+                                      np.asarray(ref.slot_idx))
+        assert got.slot_w.shape[-1] == nnei
+        np.testing.assert_allclose(np.asarray(got.slot_w),
+                                   np.asarray(ref.slot_w),
+                                   rtol=1e-4, atol=3e-4)
+
+    @pytest.mark.slow
+    def test_whole_loss_and_grad_nnei4(self):
+        n1, n2, lj = self._problem(4)
+
+        def run(be):
+            return jax.value_and_grad(
+                lambda a: M.intersection_loss(
+                    a, n2, lj, backend=be, interpret=(be == "pallas"))[0])(n1)
+
+        (vx, gx), (vp, gp) = run("xla"), run("pallas")
+        np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-7)
+
+    @pytest.mark.slow
+    def test_rigid_lanemajor_nnei4(self):
+        n1, n2, lj = self._problem(4, seed=29)
+        th = 0.1
+        R = jnp.asarray([[np.cos(th), -np.sin(th), 0.0],
+                         [np.sin(th), np.cos(th), 0.0],
+                         [0.0, 0.0, 1.0]], jnp.float32)
+        t = jnp.asarray([0.02, -0.01, 0.03], jnp.float32)
+
+        def run(be):
+            return jax.value_and_grad(
+                lambda Rt: M.intersection_loss_rigid(
+                    Rt[0], Rt[1], n1, n2, lj, backend=be,
+                    interpret=(be == "pallas"))[0])((R, t))
+
+        (vx, gx), (vp, gp) = run("xla"), run("pallas")
+        np.testing.assert_allclose(float(vp), float(vx), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-7)
+
+
 class TestRigidLaneMajorVmap:
     """The training losses vmap intersection_loss_rigid over the batch
     (train/losses.py _metric_batch_rt); the lane-major path must match the
