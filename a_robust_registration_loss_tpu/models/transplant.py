@@ -175,9 +175,43 @@ def rpmnet_from_state_dict(sd: Dict[str, np.ndarray]) -> dict:
 def fmr_from_state_dict(sd: Dict[str, np.ndarray],
                         use_decoder: bool = True) -> dict:
     """Reference SolveRegistration state_dict -> our models.fmr
-    SolveRegistration params (encoder, decoder, dt)."""
+    SolveRegistration params (encoder, decoder, dt).
+
+    With ``use_decoder=False`` the decoder subtree is omitted — the
+    reference's eval-time load strips ``decoder.*`` keys
+    (fmr/evaluate_fmr.py:165-173); overlay the result onto a freshly
+    initialized tree with :func:`merge_params` to keep the (unused at eval)
+    decoder randomly initialized, as the reference does."""
     params = {"encoder": fmr_encoder_from_state_dict(sd, "encoder.")}
     if use_decoder and any(k.startswith("decoder.") for k in sd):
         params["decoder"] = fmr_decoder_from_state_dict(sd, "decoder.")
     params["dt"] = np.asarray(sd["dt"]).reshape(1, 6).copy()
     return params
+
+
+def merge_params(base: dict, overlay: dict) -> dict:
+    """Recursively overwrite ``base``'s leaves with ``overlay``'s (partial
+    trees allowed — missing subtrees keep the base values). Mirrors torch's
+    ``load_state_dict(strict=False)`` used by the reference's stripped-key
+    loads. Raises KeyError on overlay keys absent from base (a transplant
+    layout mismatch should fail loudly, like strict key checks would)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k not in base:
+            raise KeyError(f"transplant overlay key {k!r} not in params tree "
+                           f"(have {sorted(base)})")
+        out[k] = (merge_params(base[k], v) if isinstance(v, dict)
+                  and isinstance(base[k], dict) else v)
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``.pth``/``.t7`` checkpoint into numpy arrays.
+    Unwraps the {'state_dict': ...} container some reference savers use and
+    strips DataParallel's ``module.`` prefix (Train_DCP.py:683-688 saves
+    ``net.module.state_dict()`` but older blobs may carry the prefix)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    return {k.removeprefix("module."): v.cpu().numpy() for k, v in sd.items()}

@@ -329,13 +329,9 @@ def main(argv=None):
     )
     init_from = None
     if args.init_from_torch:
-        import torch
-
         from a_robust_registration_loss_tpu.models import transplant
 
-        sd = torch.load(args.init_from_torch, map_location="cpu")
-        sd = sd.get("state_dict", sd)
-        sd = {k: v.cpu().numpy() for k, v in sd.items()}
+        sd = transplant.load_torch_state_dict(args.init_from_torch)
         init_from = transplant.dcp_from_state_dict(sd,
                                                    n_blocks=cfg.model.n_blocks)
     if args.init_from_ckpt:

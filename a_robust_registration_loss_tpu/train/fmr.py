@@ -233,6 +233,17 @@ def main(argv=None):
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--init_from_ckpt", default=None,
+                    help="initialize params from ANOTHER experiment's "
+                         "checkpoints (fresh optimizer) — the jax-side "
+                         "pretrained-init workflow; --exp_dir's own "
+                         "checkpoints still take precedence when resuming")
+    ap.add_argument("--init_from_torch", default=None,
+                    help="a reference FMR .pth checkpoint to transplant as "
+                         "the initialization (Train_FMR.py --pretrained). "
+                         "With --eval_only this reproduces evaluate_fmr.py's "
+                         "load: decoder.* keys stripped, decoder left at "
+                         "random init (evaluate_fmr.py:165-173)")
     ap.add_argument("--add_noise", action="store_true",
                     help="eval ablation: gaussian 0.01 noise on the source "
                          "(fmr/model.py:854-856)")
@@ -295,22 +306,43 @@ def main(argv=None):
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )
+    if args.init_from_ckpt and args.init_from_torch:
+        ap.error("--init_from_ckpt and --init_from_torch are exclusive")
     if args.eval_only:
         model, optimizer, train_step, eval_step, _ = make_steps(cfg)
         params = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
-        from a_robust_registration_loss_tpu.utils import CheckPointManager
+        if args.init_from_torch:
+            # the reference eval loads the pretrained net minus decoder.*
+            # keys (evaluate_fmr.py:165-173); decoder stays randomly init
+            from a_robust_registration_loss_tpu.models import transplant
 
-        ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
-        state, step = ckpt.load({"params": params,
-                                 "opt_state": optimizer.init(params),
-                                 "epoch": 0})
-        if state is not None:
-            params = state["params"]
+            sd = transplant.load_torch_state_dict(args.init_from_torch)
+            params = transplant.merge_params(
+                params, transplant.fmr_from_state_dict(sd, use_decoder=False))
+        else:
+            from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+            ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
+            state, step = ckpt.load({"params": params,
+                                     "opt_state": optimizer.init(params),
+                                     "epoch": 0})
+            if state is not None:
+                params = state["params"]
         evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
                  add_noise=args.add_noise, add_density=args.add_density,
                  seed=args.seed)
     else:
         init_from = None
+        if args.init_from_torch:
+            # training from a reference pretrained net (Train_FMR.py
+            # --pretrained, :107-123): full tree incl. decoder when present
+            from a_robust_registration_loss_tpu.models import transplant
+
+            model, _, _, _, _ = make_steps(cfg)
+            p0 = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
+            sd = transplant.load_torch_state_dict(args.init_from_torch)
+            init_from = transplant.merge_params(
+                p0, transplant.fmr_from_state_dict(sd, use_decoder=True))
         if args.init_from_ckpt:
             from a_robust_registration_loss_tpu.utils import load_params_from
 

@@ -289,6 +289,11 @@ def main(argv=None):
                          "checkpoints (fresh optimizer) — the jax-side "
                          "pretrained-init workflow; --exp_dir's own "
                          "checkpoints still take precedence when resuming")
+    ap.add_argument("--init_from_torch", default=None,
+                    help="a reference RPMNetEarlyFusion .pth checkpoint to "
+                         "transplant as the initialization (the reference's "
+                         "resume-from-torch workflow, rpm/common/torch.py:"
+                         "120-158); works with --eval_only too")
     ap.add_argument("--eval_only", action="store_true",
                     help="reload the latest checkpoint and run the eval "
                          "pass with the reference's artifact set "
@@ -381,6 +386,14 @@ def main(argv=None):
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )
+    if args.init_from_ckpt and args.init_from_torch:
+        ap.error("--init_from_ckpt and --init_from_torch are exclusive")
+    init_from = None
+    if args.init_from_torch:
+        from a_robust_registration_loss_tpu.models import transplant
+
+        sd = transplant.load_torch_state_dict(args.init_from_torch)
+        init_from = transplant.rpmnet_from_state_dict(sd)
     if args.eval_only:
         import os
 
@@ -390,21 +403,22 @@ def main(argv=None):
         batch0 = next(iter(train_loader), None)
         if batch0 is None:
             batch0 = next(iter(test_loader))
-        params = init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0)
-        from a_robust_registration_loss_tpu.utils import CheckPointManager
-
-        ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
-        state, _ = ckpt.load({"params": params,
-                              "opt_state": optimizer.init(params),
-                              "epoch": 0})
+        params = (init_from if init_from is not None else
+                  init_params(model, jax.random.PRNGKey(cfg.fit.seed), batch0))
         epoch = 0
-        if state is not None:
-            params = state["params"]
-            epoch = int(state["epoch"])
+        if init_from is None:
+            from a_robust_registration_loss_tpu.utils import CheckPointManager
+
+            ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
+            state, _ = ckpt.load({"params": params,
+                                  "opt_state": optimizer.init(params),
+                                  "epoch": 0})
+            if state is not None:
+                params = state["params"]
+                epoch = int(state["epoch"])
         evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),
                  epoch=epoch)
     else:
-        init_from = None
         if args.init_from_ckpt:
             from a_robust_registration_loss_tpu.utils import load_params_from
 
