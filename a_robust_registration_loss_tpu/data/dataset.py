@@ -396,11 +396,17 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        # worker exceptions must reach the consumer (torch DataLoader worker
+        # semantics, pre_dataloader.py:220-233) — a swallowed IO/parse error
+        # would silently truncate the epoch
+        error: list = []
 
         def worker():
             try:
                 for batch in self.loader:
                     q.put(batch)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -409,6 +415,8 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 return
             yield item
 

@@ -44,6 +44,8 @@ class RPMNetConfig:
     num_neighbors: int = 64
     num_sk_iter: int = 5
     add_slack: bool = True
+    anneal: str = "net"  # "net" | "constant": the reference's ablation swap
+    #                      (feature_nets.py:91-115, rpm/models/rpmnet.py:11)
 
 
 def angle(v1, v2):
@@ -216,7 +218,9 @@ class RPMNetEarlyFusion(nn.Module):
     cfg: RPMNetConfig = RPMNetConfig()
 
     def setup(self):
-        self.weights_net = ParameterPredictionNet()
+        self.weights_net = (ParameterPredictionNetConstant()
+                            if self.cfg.anneal == "constant"
+                            else ParameterPredictionNet())
         self.feat_extractor = FeatExtractionEarlyFusion(self.cfg)
 
     def __call__(self, xyz_src, norm_src, xyz_ref, norm_ref, num_iter: int = 2):

@@ -141,8 +141,18 @@ def rpmnet_from_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     2 + prod(weights_dim) values of which the reference uses the first two
     (beta, alpha) — we keep only those rows when weights_dim > 0.
     feat_extractor: prepool Conv2d@{0,3,6} + GN@{1,4,7}, postpool
-    Conv1d@{0,3,6} + GN@{1,4} (feature_nets.py:118-152)."""
+    Conv1d@{0,3,6} + GN@{1,4} (feature_nets.py:118-152).
+
+    The constant-annealing ablation variant (feature_nets.py:91-115) is a
+    single ``weights_net.anneal_weights`` parameter — detected by key."""
     wn = {}
+    if "weights_net.anneal_weights" in sd:
+        # reference allocates 2 + prod(weights_dim) but reads only the first
+        # two (feature_nets.py:102-114)
+        wn["anneal_weights"] = np.asarray(
+            sd["weights_net.anneal_weights"]).reshape(-1)[:2].copy()
+        return {"weights_net": wn,
+                "feat_extractor": _rpm_feat_extractor(sd)}
     for i, li in enumerate([0, 3, 6, 9, 12]):
         wn[f"Dense_{i}"] = _dense(sd, f"weights_net.prepool.{li}")
         wn[f"TorchGroupNorm_{i}"] = _groupnorm(sd,
@@ -154,7 +164,10 @@ def rpmnet_from_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     final = _dense(sd, "weights_net.postpool.6")
     wn["Dense_7"] = {"kernel": final["kernel"][:, :2],
                      "bias": final["bias"][:2]}
+    return {"weights_net": wn, "feat_extractor": _rpm_feat_extractor(sd)}
 
+
+def _rpm_feat_extractor(sd) -> dict:
     fe = {}
     for i, li in enumerate([0, 3, 6]):
         w = np.asarray(sd[f"feat_extractor.prepool.{li}.weight"])  # (O,I,1,1)
@@ -169,7 +182,7 @@ def rpmnet_from_state_dict(sd: Dict[str, np.ndarray]) -> dict:
         if li != 6:
             fe[f"TorchGroupNorm_{3 + j}"] = _groupnorm(
                 sd, f"feat_extractor.postpool.{li + 1}")
-    return {"weights_net": wn, "feat_extractor": fe}
+    return fe
 
 
 def fmr_from_state_dict(sd: Dict[str, np.ndarray],

@@ -279,6 +279,11 @@ def main(argv=None):
                     help="comma-separated feature set (rpm/arguments.py:90)")
     ap.add_argument("--no_slack", action="store_true",
                     help="disable the sinkhorn slack row/column")
+    ap.add_argument("--anneal", default="net", choices=["net", "constant"],
+                    help="annealing-parameter source: the PointNet predictor "
+                         "(default) or the learnable-constant ablation "
+                         "(feature_nets.py:91-115; in the reference this is "
+                         "a commented-out import swap, rpm/models/rpmnet.py:11)")
     ap.add_argument("--max_lr", type=float, default=2e-5,
                     help="the OneCycle plateau lr (Train_RPM.py:385)")
     ap.add_argument("--train_reg_iter", type=int, default=2)
@@ -382,7 +387,7 @@ def main(argv=None):
             features=tuple(args.features.split(",")),
             feat_dim=args.feat_dim, radius=args.radius,
             num_neighbors=args.num_neighbors, num_sk_iter=args.num_sk_iter,
-            add_slack=not args.no_slack),
+            add_slack=not args.no_slack, anneal=args.anneal),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )

@@ -54,6 +54,62 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO_ROOT = os.path.dirname(TESTS_DIR)
+SLOW_STAMP = os.path.join(TESTS_DIR, ".slow_tier_stamp.json")
+
+
+def source_fingerprint():
+    """Content hash over everything whose change can invalidate the slow
+    tier's golden-parity evidence: the package source (py/cpp) plus the
+    root entry/bench files."""
+    import hashlib
+
+    h = hashlib.sha256()
+    files = []
+    pkg = os.path.join(REPO_ROOT, "a_robust_registration_loss_tpu")
+    for base, dirs, names in os.walk(pkg):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for n in names:
+            if n.endswith((".py", ".cpp", ".cc", ".h")):
+                files.append(os.path.join(base, n))
+    for extra in ("bench.py", "__graft_entry__.py", "demo.py"):
+        p = os.path.join(REPO_ROOT, extra)
+        if os.path.exists(p):
+            files.append(p)
+    for p in sorted(files):
+        h.update(os.path.relpath(p, REPO_ROOT).encode() + b"\0")
+        with open(p, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """After a green FULL --runslow run, stamp the source fingerprint the
+    slow tier was validated against. tests/test_suite_freshness.py makes the
+    default tier fail loudly when source changed without a slow re-run
+    (round-2 verdict weak #5 / task 7)."""
+    config = session.config
+    if not config.getoption("--runslow", default=False):
+        return
+    if exitstatus != 0 or session.testsfailed:
+        return
+    # partial runs (explicit file selection, -k/-m filters) must not refresh
+    if config.option.keyword or config.option.markexpr:
+        return
+    args = [os.path.abspath(os.path.normpath(a)) for a in config.args]
+    if not all(a in (TESTS_DIR, REPO_ROOT) for a in args):
+        return
+    import json
+    import time
+
+    with open(SLOW_STAMP, "w") as f:
+        json.dump({"fingerprint": source_fingerprint(),
+                   "time": time.strftime("%Y-%m-%dT%H:%M:%S")}, f, indent=1)
+        f.write("\n")
+
+
 def _install_reference_stubs():
     """Stub the reference's unavailable third-party imports (igl, openmesh,
     cv2) so its loss.py / LieAlgebra can be imported for golden-parity tests.

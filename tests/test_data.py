@@ -255,6 +255,28 @@ class TestPrefetchLoader:
             np.testing.assert_array_equal(x["points_src_sample"],
                                           y["points_src_sample"])
 
+    def test_worker_exception_propagates(self):
+        """A poisoned dataset must fail the epoch, not silently truncate it
+        (torch DataLoader worker semantics, pre_dataloader.py:220-233;
+        round-2 verdict weak #4)."""
+
+        def poisoned():
+            yield {"ok": np.zeros(3)}
+            raise IOError("corrupt pair 1")
+
+        class Poisoned:
+            def __iter__(self):
+                return poisoned()
+
+            def __len__(self):
+                return 2
+
+        pre = DS.PrefetchLoader(Poisoned())
+        it = iter(pre)
+        next(it)  # the good batch still comes through
+        with pytest.raises(IOError, match="corrupt pair 1"):
+            next(it)
+
 
 class TestLoaderSetEpoch:
     def test_epoch_pinning_reproducible(self, fixture_dir):

@@ -90,6 +90,30 @@ class TestRPMNet:
                            p[:, :, -1, None]), 2)
         np.testing.assert_allclose(ours, p[:, :-1, :-1].numpy(), atol=3e-6)
 
+    def test_anneal_constant_variant(self, rng):
+        """cfg.anneal='constant' swaps in the learnable-constant ablation
+        (feature_nets.py:91-115): a single 2-vector parameter, (beta, alpha)
+        independent of the input clouds."""
+        src, nsrc = _clouds(rng, n=24)
+        ref, nref = _clouds(rng, n=24)
+        m = RPMNetEarlyFusion(RPMNetConfig(feat_dim=32, num_neighbors=8,
+                                           num_sk_iter=2, anneal="constant"))
+        params = m.init(jax.random.PRNGKey(0), src, nsrc, ref, nref,
+                        num_iter=1)["params"]
+        assert set(params["weights_net"]) == {"anneal_weights"}
+        assert params["weights_net"]["anneal_weights"].shape == (2,)
+        t1, ep1 = m.apply({"params": params}, src, nsrc, ref, nref, num_iter=1)
+        t2, ep2 = m.apply({"params": params}, src * 2.0, nsrc, ref, nref,
+                          num_iter=1)
+        # softplus(0) on both, and identical regardless of inputs
+        np.testing.assert_allclose(np.asarray(ep1["beta"][0]), np.log(2.0),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ep1["beta"][0]),
+                                      np.asarray(ep2["beta"][0]))
+        np.testing.assert_array_equal(np.asarray(ep1["alpha"][0]),
+                                      np.asarray(ep2["alpha"][0]))
+        assert t1[0].shape == (2, 3, 4)
+
     def test_weighted_kabsch_exact(self, rng):
         a = jnp.asarray(rng.standard_normal((3, 40, 3)).astype(np.float32))
         tw = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32) * 0.4)

@@ -224,6 +224,63 @@ class TestRPMNetTransplant:
             endpoints_t["perm_matrices"][0].numpy(), atol=1e-5)
 
 
+class TestRPMNetConstantAnnealTransplant:
+    def test_constant_variant_forward_parity(self, torch_models, rng):
+        """The constant-annealing ablation (feature_nets.py:91-115): swap the
+        reference net's weights_net for ParameterPredictionNetConstant, save,
+        transplant into our anneal='constant' config, compare transforms."""
+        torch = torch_models.torch
+        sys.path.insert(0, "/root/reference/code/exps_deep_learning/rpm")
+        import importlib
+
+        rpm_ref = importlib.import_module("models.rpmnet")
+        feature_nets = importlib.import_module("models.feature_nets")
+        torch.manual_seed(11)
+        args = types.SimpleNamespace(no_slack=False, num_sk_iter=3,
+                                     features=["ppf", "dxyz", "xyz"],
+                                     feat_dim=32, radius=0.4,
+                                     num_neighbors=16)
+        net = rpm_ref.RPMNetEarlyFusion(args).eval()
+        # the reference enables this variant by an import swap
+        # (rpm/models/rpmnet.py:11); same effect, post-construction
+        net.weights_net = feature_nets.ParameterPredictionNetConstant([0])
+        with torch.no_grad():
+            net.weights_net.anneal_weights[:2] = torch.tensor([0.3, -0.2])
+
+        from a_robust_registration_loss_tpu.models import transplant
+        from a_robust_registration_loss_tpu.models.rpmnet import (
+            RPMNetConfig,
+            RPMNetEarlyFusion,
+        )
+
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params = transplant.rpmnet_from_state_dict(sd)
+        np.testing.assert_allclose(params["weights_net"]["anneal_weights"],
+                                   [0.3, -0.2], atol=0)
+        cfg = RPMNetConfig(feat_dim=32, radius=0.4, num_neighbors=16,
+                           num_sk_iter=3, add_slack=True, anneal="constant")
+        model = RPMNetEarlyFusion(cfg)
+
+        src = rng.standard_normal((2, 24, 3)).astype(np.float32) * 0.5
+        ref = rng.standard_normal((2, 24, 3)).astype(np.float32) * 0.5
+        nrm = rng.standard_normal((2, 24, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        data = {
+            "points_src_sample": torch.from_numpy(src),
+            "points_tar_sample": torch.from_numpy(ref),
+            "normals_src": torch.from_numpy(nrm),
+            "normals_tar": torch.from_numpy(nrm),
+        }
+        with torch.no_grad():
+            transforms_t, _ = net(data, num_iter=2)
+        transforms_j, _ = model.apply(
+            {"params": params}, jnp.asarray(src), jnp.asarray(nrm),
+            jnp.asarray(ref), jnp.asarray(nrm), num_iter=2)
+        for ti, (tt, tj) in enumerate(zip(transforms_t, transforms_j)):
+            np.testing.assert_allclose(np.asarray(tj), tt.numpy(), atol=2e-4,
+                                       err_msg=f"iter {ti}")
+
+
 class TestFMRTransplant:
     def test_encoder_decoder_parity(self, torch_models, rng):
         torch = torch_models.torch
