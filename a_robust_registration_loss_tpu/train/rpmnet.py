@@ -49,6 +49,15 @@ class RPMTrainConfig:
     num_train_reg_iter: int = 2
     num_eval_reg_iter: int = 5
     pretrain_epochs: int = 0               # reference default 10000 (:349)
+    # identity pretraining runs on the raw Adam lr=2e-3 (Train_RPM.py:434)
+    # BEFORE run() constructs OneCycleLR, which overrides lr to 2e-5
+    # (:383-390) — so the reference pretrains 100x hotter than it trains.
+    # Round-2 streams pretrained at 2e-5 (this field's former implicit
+    # value); the faithful default is 2e-3.
+    pretrain_lr: float = 2e-3
+    # the reference's single Adam instance carries its moment state from
+    # pretraining into training; False = fresh moments (round-2 behavior)
+    pretrain_carry_moments: bool = True
     loss: L.LossConfig = L.LossConfig(n_lines=10000, wt_inliers=1e-2)
     model: RPMNetConfig = RPMNetConfig()
     fit: harness.FitConfig = harness.FitConfig()
@@ -70,6 +79,9 @@ def lr_schedule(cfg: RPMTrainConfig):
 def make_steps(cfg: RPMTrainConfig):
     model = RPMNetEarlyFusion(cfg.model)
     optimizer = optax.adam(lr_schedule(cfg))
+    # schedule-form constant so the opt_state structure matches `optimizer`
+    # exactly — pretraining shares (and can hand over) the Adam moments
+    pretrain_optimizer = optax.adam(lambda _: cfg.pretrain_lr)
 
     def forward(params, batch, num_iter):
         return model.apply(
@@ -118,7 +130,8 @@ def make_steps(cfg: RPMTrainConfig):
 
     def pretrain_step(params, opt_state, batch, key):
         """Identity pretraining (Train_RPM.py:349-378): 1 reg iter,
-        loss = mse(R, I) + mse(t, 0)."""
+        loss = mse(R, I) + mse(t, 0), at the raw Adam lr (cfg.pretrain_lr —
+        the reference pretrains before OneCycleLR caps the lr)."""
         def loss_fn(p):
             transforms, _ = forward(p, batch, 1)
             R = transforms[0][..., :3, :3]
@@ -127,7 +140,8 @@ def make_steps(cfg: RPMTrainConfig):
             return jnp.mean((R - eye) ** 2) + jnp.mean(t**2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = pretrain_optimizer.update(grads, opt_state,
+                                                       params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, dict(loss=loss)
 
@@ -166,12 +180,16 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
 
     if cfg.pretrain_epochs:
         pstep = jax.jit(pretrain_step)
+        log_every = max(1, cfg.pretrain_epochs // 50)
         for epoch in range(cfg.pretrain_epochs):
             for batch in train_loader:
                 key, sub = jax.random.split(key)
                 params, opt_state, m = pstep(params, opt_state, batch, sub)
-            log(f"pretrain epoch {epoch}: loss={float(m['loss']):.6f}")
-        opt_state = optimizer.init(params)  # fresh moments for the real run
+            if epoch % log_every == 0 or epoch == cfg.pretrain_epochs - 1:
+                log(f"pretrain epoch {epoch}: loss={float(m['loss']):.6f}")
+        if not cfg.pretrain_carry_moments:
+            opt_state = optimizer.init(params)  # fresh moments instead of
+            #                                     the reference's carry-over
 
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",
@@ -289,6 +307,10 @@ def main(argv=None):
     ap.add_argument("--train_reg_iter", type=int, default=2)
     ap.add_argument("--eval_reg_iter", type=int, default=5)
     ap.add_argument("--pretrain_epochs", type=int, default=0)
+    ap.add_argument("--pretrain_lr", type=float, default=2e-3,
+                    help="identity-pretrain Adam lr (the reference pretrains "
+                         "at the raw 2e-3 before OneCycleLR caps training "
+                         "to 2e-5, Train_RPM.py:434,383-390)")
     ap.add_argument("--init_from_ckpt", default=None,
                     help="initialize params from ANOTHER experiment's "
                          "checkpoints (fresh optimizer) — the jax-side "
@@ -381,6 +403,7 @@ def main(argv=None):
         num_train_reg_iter=args.train_reg_iter,
         num_eval_reg_iter=args.eval_reg_iter,
         pretrain_epochs=args.pretrain_epochs,
+        pretrain_lr=args.pretrain_lr,
         loss=L.LossConfig(n_lines=args.n_lines, wt_inliers=args.wt_inliers,
                           backend=args.backend, mesh=mesh),
         model=RPMNetConfig(

@@ -299,6 +299,42 @@ class TestSmokeTraining:
         params, history = TR.train(cfg, self._loader(), log=lambda *a: None)
         assert all(np.isfinite([h["loss"] for h in history]))
 
+    def test_rpm_pretrain_runs_at_pretrain_lr(self, tmp_path):
+        """Identity pretraining uses the raw Adam lr (reference 2e-3,
+        Train_RPM.py:434) rather than the OneCycle-capped 2e-5
+        (:383-390) — a first Adam step moves params ~ lr, so the two
+        configs' deltas must scale ~100x, and the pretrain opt_state must
+        be structurally consumable by the main optimizer (moment carry)."""
+        import jax
+
+        from a_robust_registration_loss_tpu.models.rpmnet import RPMNetConfig
+        from a_robust_registration_loss_tpu.train import rpmnet as TR
+
+        batch = {k: jnp.asarray(v) for k, v in make_batch(B=1, N=24,
+                                                          F=12).items()}
+        deltas = {}
+        opt_states = {}
+        for plr in (2e-3, 2e-5):
+            cfg = TR.RPMTrainConfig(
+                pretrain_lr=plr, pretrain_epochs=1,
+                loss=L.LossConfig(n_lines=64, line_chunk=None),
+                model=RPMNetConfig(feat_dim=16, num_neighbors=8,
+                                   num_sk_iter=2, radius=0.5))
+            (model, optimizer, _, _, pstep, _) = TR.make_steps(cfg)
+            p0 = TR.init_params(model, jax.random.PRNGKey(0), batch)
+            st = optimizer.init(p0)
+            p1, st1, _ = pstep(p0, st, batch, jax.random.PRNGKey(1))
+            deltas[plr] = max(
+                float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)))
+            opt_states[plr] = (optimizer, st1, p1)
+        assert deltas[2e-3] > 50 * deltas[2e-5], deltas
+        # moment carry: the pretrain state feeds the main optimizer directly
+        optimizer, st1, p1 = opt_states[2e-3]
+        g = jax.tree.map(jnp.ones_like, p1)
+        updates, _ = optimizer.update(g, st1, p1)
+        assert np.isfinite(float(jnp.max(jax.tree.leaves(updates)[0])))
+
     def test_fmr_smoke(self, tmp_path):
         from a_robust_registration_loss_tpu.models.fmr import FMRConfig
         from a_robust_registration_loss_tpu.train import fmr as TF

@@ -103,3 +103,36 @@ class TestRPMConvergence:
         assert np.isfinite(f["loss_gt"]) and np.isfinite(f["loss_chamfer"])
         # held-out eval monitors recorded
         assert "test_loss" in f or "loss_gt" in f
+
+
+class TestLargeN:
+    """benchmarks/LARGE_N.json (bench_large_n.py): the 16,384-pt end-to-end
+    regime (BASELINE config 5) as a committed artifact, not prose."""
+
+    def _art(self):
+        path = os.path.join(BENCH, "LARGE_N.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/bench_large_n.py")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_scale_and_convergence(self):
+        art = self._art()
+        assert art["n_points"] == 16384 and art["n_lines"] == 20000
+        # the known synthetic ground truth is recovered
+        assert art["final_rot_err_deg"] < 1.0, art["final_rot_err_deg"]
+        assert art["final_trans_err"] < 0.02, art["final_trans_err"]
+        # chamfer actually converged (reference-style independent check)
+        assert art["chamfer_final"] < 0.05 * art["chamfer_first"]
+        assert np.isfinite(art["steps_per_sec"]) and art["steps_per_sec"] > 0
+
+    def test_sp_shard_shapes(self):
+        art = self._art()
+        sp = art.get("sp_dryrun")
+        if sp is None:
+            pytest.skip("artifact recorded without the sp dryrun")
+        assert sp["mesh"] == {"dp": 1, "sp": 8}
+        L = sp["n_lines"]
+        # the line axis is genuinely split 8 ways on the virtual mesh
+        assert sp["per_device_line_shard_shapes"] == [[1, L // 8, 6]]
+        assert all(np.isfinite(sp["losses"]))
