@@ -540,10 +540,17 @@ def _stage2_lanemajor(pts1, pts2, c1, c2, kmin: int, kmax: int):
 
     nC = kmax - kmin + 1
     cid = jnp.where(lvalid, (c1 - kmin) * nC + (c2 - kmin), nC * nC)
-    hist = jnp.zeros((nC * nC + 1,), jnp.int32).at[cid].add(1)
-    n_combo = hist[:-1]
+    # per-combo line counts as nC^2 masked reductions instead of a
+    # scatter-add histogram: TPU scatters serialize (and batch-scatter under
+    # vmap); the compare+sum is a handful of fused vector passes. The
+    # back-gather n_combo[cid] becomes a one-hot contraction for the same
+    # reason. Semantics identical (invalid lines carry cid == nC*nC, matched
+    # by no bucket).
+    ids = jnp.arange(nC * nC, dtype=cid.dtype)
+    onehot = (cid[None, :] == ids[:, None])          # (nC*nC, Lp)
+    n_combo = jnp.sum(onehot, axis=1, dtype=jnp.int32)
     n_nonempty = jnp.sum(n_combo > 0)
-    n_line = jnp.where(lvalid, n_combo[jnp.minimum(cid, nC * nC - 1)], 1)
+    n_line = jnp.where(lvalid, jnp.sum(onehot * n_combo[:, None], axis=0), 1)
 
     c1f = jnp.maximum(c1, 1).astype(D_all.dtype)
     c2f = jnp.maximum(c2, 1).astype(D_all.dtype)
@@ -606,13 +613,15 @@ def intersection_loss_from_slots(pts1, inter1: Intersections,
     rowmin = jnp.min(jnp.where(slot_ok2[:, None, :], D, big), axis=2)  # (L, K)
     colmin = jnp.min(jnp.where(slot_ok1[:, :, None], D, big), axis=1)  # (L, K)
 
-    # per-(k, j)-combo line counts via a histogram over combo ids
+    # per-(k, j)-combo line counts as nC^2 masked reductions (scatter-free;
+    # see the identical construction + rationale in _stage2_lanemajor)
     nC = (kmax - kmin + 1)
     cid = jnp.where(lvalid, (c1 - kmin) * nC + (c2 - kmin), nC * nC)
-    hist = jnp.zeros((nC * nC + 1,), jnp.int32).at[cid].add(1)
-    n_combo = hist[:-1]
+    ids = jnp.arange(nC * nC, dtype=cid.dtype)
+    onehot = (cid[None, :] == ids[:, None])          # (nC*nC, L)
+    n_combo = jnp.sum(onehot, axis=1, dtype=jnp.int32)
     n_nonempty = jnp.sum(n_combo > 0)
-    n_line = jnp.where(lvalid, n_combo[jnp.minimum(cid, nC * nC - 1)], 1)
+    n_line = jnp.where(lvalid, jnp.sum(onehot * n_combo[:, None], axis=0), 1)
 
     # welsch is monotone in x, so welsch(min) == min(welsch)
     row_w = jnp.where(slot_ok1, welsch(rowmin, median), 0.0)

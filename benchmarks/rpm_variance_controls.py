@@ -65,8 +65,13 @@ def main(argv=None):
         REPO, "datasets", f"human_views_{args.num_points}")
     ensure_dataset(data_dir, n_views=args.n_views,
                    num_points=args.num_points)
+    # identical loader construction to rpm_torch_control.py — same
+    # n_meshes/n_views/split so the comparison is pair-for-pair
+    n_meshes = len({f.split("_")[2] for f in os.listdir(data_dir)
+                    if f.startswith("src_sample_")})
     train_loader, test_loader = DS.generate_datasets(DS.DatasetConfig(
-        data_path=data_dir, layout="views", train_batch=args.batch_size,
+        data_path=data_dir, layout="views", n_meshes=n_meshes,
+        n_views=args.n_views, train_batch=args.batch_size,
         seed=args.seed, train_count=args.train_count))
 
     exp_dir = args.exp_dir or os.path.join(
