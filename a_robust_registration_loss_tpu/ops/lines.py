@@ -11,7 +11,7 @@ The resampler keeps only lines whose coarse 12-triangle AABB meshes of BOTH
 clouds are hit (reference: loss.py:415-432), over a fixed budget of 10
 rounds. The reference fills a Python-dict-countered buffer with host-synced
 ``.nonzero()`` selections (loss.py:365-381); here it is a fully-on-device
-masked fill (cumsum acceptance ranks + one stable multi-operand sort) —
+masked fill (cumsum acceptance ranks + one multi-operand sort) —
 jit-compatible, zero host syncs, identical distribution
 (first-accepted-first-stored, zero-filled tail when the budget runs out; the
 zero lines intersect nothing downstream, exactly as in the reference).
@@ -113,11 +113,14 @@ def _fill_first_n(cand, ok, n):
     Implemented as one multi-operand ``lax.sort`` (key = acceptance rank,
     payload = the 6 line components): on TPU the sort beats the equivalent
     scatter fill (~1.0 vs ~1.6 ms at 200k candidates — XLA serializes
-    random-index scatter writes). The sort is stable in the key, so the
-    accepted candidates land in their original (first-accepted-first) order."""
+    random-index scatter writes). The sort is UNSTABLE but the output is
+    exactly the stable one: accepted keys are unique cumsum ranks (their
+    first-accepted-first order is forced by the key itself), and the tied
+    2**30 reject keys only ever land in rows the mask zero-fills."""
     pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
     key = jnp.where(ok & (pos < n), pos, 2**30)
-    srt = jax.lax.sort([key] + [cand[:, c] for c in range(6)], num_keys=1)
+    srt = jax.lax.sort([key] + [cand[:, c] for c in range(6)], num_keys=1,
+                       is_stable=False)
     out = jnp.stack(srt[1:], axis=-1)[:n]
     return jnp.where((srt[0][:n] < 2**30)[:, None], out, 0.0)
 
@@ -127,11 +130,12 @@ def _fill_first_n_gather(cand, ok, n):
     one n-row gather of the payload — sorts 2 columns instead of 7 at the
     price of a random-access gather of only n (not 10n) rows. Benchmarked
     against _fill_first_n on TPU (benchmarks/bench_resampler.py); output is
-    identical (same keys, same stable order)."""
+    identical (same unique accepted keys; tied reject rows are zero-masked,
+    so the unstable sort is value-exact here too)."""
     pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
     key = jnp.where(ok & (pos < n), pos, 2**30)
     iota = jnp.arange(cand.shape[0], dtype=jnp.int32)
-    keys_s, idx_s = jax.lax.sort([key, iota], num_keys=1)
+    keys_s, idx_s = jax.lax.sort([key, iota], num_keys=1, is_stable=False)
     out = jnp.take(cand, idx_s[:n], axis=0)
     return jnp.where((keys_s[:n] < 2**30)[:, None], out, 0.0)
 

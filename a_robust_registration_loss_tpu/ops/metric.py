@@ -570,14 +570,18 @@ def _masked_lower_median(values, mask):
     """torch.median semantics on a masked flat set: the (n-1)//2-th order
     statistic of the valid entries (lower middle for even n).
 
-    One fused sort of the 16L-element masked buffer (~1.2 ms at L=20k on
-    TPU). A 32-step binary search on the fp32 bit pattern was tried and is
-    exact but SLOWER (~5 ms): the sequential fori_loop serializes 32
-    reduction passes, while the sort is a single fused op."""
+    One fused UNSTABLE sort of the 16L-element masked buffer (0.17 ms at
+    L=20k on TPU; ``jnp.sort``'s default stable sort costs 0.70 ms, and
+    stability cannot change which VALUE sits at rank k — equal keys are
+    interchangeable for an order statistic). A 32-step binary search on the
+    fp32 bit pattern was tried and is exact but SLOWER (~5 ms): the
+    sequential fori_loop serializes 32 reduction passes; an exact 4-pass
+    radix select was 2.6 ms (TPU scatter-add histograms) — the single
+    fused sort wins."""
     big = jnp.asarray(jnp.inf, values.dtype)
     flat = jnp.where(mask, values, big).reshape(-1)
     n = jnp.sum(mask)
-    srt = jnp.sort(flat)
+    (srt,) = jax.lax.sort((flat,), is_stable=False)
     k = jnp.maximum((n - 1) // 2, 0)
     return srt[k]
 
