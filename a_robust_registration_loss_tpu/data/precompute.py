@@ -49,7 +49,17 @@ def main(argv=None):
     ap.add_argument("--num_neigh", type=int, default=3)
     ap.add_argument("--write_obj", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force the jax platform (e.g. cpu) — the axon TPU "
+                         "plugin ignores the JAX_PLATFORMS env var, and "
+                         "fixture-scale precomputes compile faster on CPU "
+                         "than over the TPU tunnel")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     paths = sorted(glob.glob(os.path.join(args.data_path, args.pattern)))
     paths = [p for p in paths if "normals" not in os.path.basename(p)

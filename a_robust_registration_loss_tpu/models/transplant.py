@@ -227,4 +227,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     sd = torch.load(path, map_location="cpu")
     sd = sd.get("state_dict", sd)
-    return {k.removeprefix("module."): v.cpu().numpy() for k, v in sd.items()}
+    # checkpoints may carry non-tensor metadata (epoch counters, scores) at
+    # top level next to the weights — skip those instead of crashing on
+    # .cpu() of an int
+    out = {k.removeprefix("module."): v.cpu().numpy() for k, v in sd.items()
+           if isinstance(v, torch.Tensor)}
+    if not out:
+        raise ValueError(f"{path}: no tensor entries found "
+                         f"(keys: {sorted(sd)[:8]}...)")
+    return out

@@ -58,9 +58,10 @@ def make_steps(cfg: DCPTrainConfig):
             return loss, monitors
 
         (loss, monitors), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, dict(monitors, loss=loss)
+        params, opt_state, nonfinite = harness.guarded_update(
+            optimizer, grads, opt_state, params, loss)
+        return params, opt_state, dict(monitors, loss=loss,
+                                       nonfinite_steps=nonfinite)
 
     def eval_step(params, batch, key):
         """The reference test_one_epoch's per-batch battery

@@ -65,8 +65,8 @@ def make_steps(cfg: FMRTrainConfig):
 
         (loss, (parts, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, nonfinite = harness.guarded_update(
+            optimizer, grads, opt_state, params, loss)
         igt_inv = jax.vmap(se3.inverse)(batch["igt"])
         loss_g = jnp.mean((out["g"] - igt_inv) ** 2)
         mae, rmse = EM.rotation_euler_errors(
@@ -74,6 +74,7 @@ def make_steps(cfg: FMRTrainConfig):
         return params, opt_state, dict(
             parts, loss=loss, loss_gt=loss_g,
             loss_rot_euler_mae=mae, loss_rot_euler_rmse=rmse,
+            nonfinite_steps=nonfinite,
         )
 
     def eval_step(params, batch, key):
@@ -323,9 +324,9 @@ def main(argv=None):
             from a_robust_registration_loss_tpu.utils import CheckPointManager
 
             ckpt = CheckPointManager(os.path.join(args.exp_dir, "checkpoints"))
-            state, step = ckpt.load({"params": params,
-                                     "opt_state": optimizer.init(params),
-                                     "epoch": 0})
+            state, _ = ckpt.load({"params": params,
+                                  "opt_state": optimizer.init(params),
+                                  "epoch": 0})
             if state is not None:
                 params = state["params"]
         evaluate(cfg, params, test_loader, os.path.join(args.exp_dir, "eval"),

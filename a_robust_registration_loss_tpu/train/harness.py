@@ -25,10 +25,46 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import optax
 
 from a_robust_registration_loss_tpu.data import objio
 from a_robust_registration_loss_tpu.utils import CheckPointManager, MetricsWriter
+
+# metrics keys aggregated by SUM over an epoch instead of the mean (event
+# counters; everything else is a per-batch average)
+COUNTER_KEYS = frozenset({"nonfinite_steps"})
+
+
+def guarded_update(optimizer, grads, opt_state, params, loss):
+    """Optimizer update that SKIPS the step when the loss or any gradient is
+    non-finite, so one poisoned batch cannot corrupt the Adam moments.
+
+    The metric's replicated welsch(0, 0) quirk (ops/metric.py docstring: a
+    batch whose distance median is exactly 0 yields 0/0 = NaN, faithful to
+    the reference loss.py:20-21) would otherwise flow NaN through
+    optimizer.update into mu/nu and poison every subsequent step. The
+    reference handles this by crashing the process (loss.py:89-91); our
+    no-process-exit policy freezes the step instead, exactly like the
+    classical path's masked freeze (train/classical.py), and surfaces it as
+    a counted ``nonfinite_steps`` monitor (summed per epoch, COUNTER_KEYS).
+
+    Returns (params, opt_state, nonfinite_flag) where the flag is 1.0 for a
+    skipped step, 0.0 otherwise.
+    """
+    finite = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        finite = finite & jnp.all(jnp.isfinite(leaf))
+    updates, new_opt = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    def sel(new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, a, b), new, old)
+
+    return (sel(new_params, params), sel(new_opt, opt_state),
+            (~finite).astype(jnp.float32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,7 +206,9 @@ class Trainer:
                 n_batches += 1
             if pending_metrics is not None:
                 _absorb(pending_metrics)
-            train_metrics = {k: v / max(n_batches, 1) for k, v in agg.items()}
+            train_metrics = {
+                k: (v if k in COUNTER_KEYS else v / max(n_batches, 1))
+                for k, v in agg.items()}
             self.writer.add_scalars(train_metrics, epoch, prefix="train/")
 
             eval_metrics = {}

@@ -76,6 +76,19 @@ def lr_schedule(cfg: RPMTrainConfig):
     )
 
 
+def reset_schedule_count(opt_state):
+    """Zero any ScaleByScheduleState count while keeping everything else
+    (Adam moments AND Adam's bias-correction count). Used at the
+    pretrain->train handover: the reference's single Adam instance carries
+    its moments, but OneCycleLR is constructed only after pretraining
+    (Train_RPM.py:383-390), so the lr schedule must start at step 0."""
+    return tuple(
+        type(s)(count=jnp.zeros_like(s.count))
+        if isinstance(s, optax.ScaleByScheduleState) else s
+        for s in opt_state
+    )
+
+
 def make_steps(cfg: RPMTrainConfig):
     model = RPMNetEarlyFusion(cfg.model)
     optimizer = optax.adam(lr_schedule(cfg))
@@ -100,11 +113,11 @@ def make_steps(cfg: RPMTrainConfig):
             return L.rpm_total_loss(losses), losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, nonfinite = harness.guarded_update(
+            optimizer, grads, opt_state, params, loss)
         return params, opt_state, dict(
             {k: jax.lax.stop_gradient(v) for k, v in losses.items()},
-            loss=loss,
+            loss=loss, nonfinite_steps=nonfinite,
         )
 
     def eval_step(params, batch, key):
@@ -190,6 +203,8 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
         if not cfg.pretrain_carry_moments:
             opt_state = optimizer.init(params)  # fresh moments instead of
             #                                     the reference's carry-over
+        else:
+            opt_state = reset_schedule_count(opt_state)
 
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",

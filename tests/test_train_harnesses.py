@@ -632,3 +632,137 @@ class TestLoadParamsFrom:
                                           np.asarray(better[k]))
         # empty directory -> None
         assert load_params_from(str(tmp_path / "empty"), template) is None
+
+
+class TestNonFiniteGuard:
+    """Round-3 verdict task 8: a poisoned batch (the replicated welsch(0,0)
+    median==0 NaN quirk, ops/metric.py docstring) must not corrupt Adam
+    state; the skip is surfaced as a counted ``nonfinite_steps`` monitor."""
+
+    def _nan_metric_grads(self):
+        """Real NaN source: duplicated neighborhoods make every slot-point
+        pair coincide -> masked median == 0 -> welsch(0, 0) = 0/0 = NaN
+        (faithful to the reference's Welsch1 with torch.median == 0,
+        loss.py:20-24)."""
+        import optax
+
+        from a_robust_registration_loss_tpu.ops import geometry as G
+        from a_robust_registration_loss_tpu.ops import lines as LN
+
+        rng = np.random.default_rng(0)
+        pts = _sphere(128, rng)
+        neis = _neighs(pts, 128).reshape(-1, 9)
+        neis_dup = np.concatenate([neis, neis])  # coincident slot points
+        lines = LN.resample_lines(
+            jax.random.PRNGKey(0), jnp.float32(1.8), jnp.zeros(3, jnp.float32),
+            1024, jnp.asarray(pts), jnp.asarray(pts))
+
+        def loss_of(t):
+            loss, _ = M.intersection_loss_rigid(
+                jnp.eye(3), t, jnp.asarray(neis_dup), jnp.asarray(neis_dup),
+                lines, line_chunk=None)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_of)(jnp.zeros(3))
+        return loss, grads
+
+    def test_guarded_update_freezes_on_metric_nan(self):
+        import optax
+
+        loss, grads = self._nan_metric_grads()
+        assert not np.isfinite(float(loss))  # documents the quirk fires
+
+        params = jnp.asarray([0.1, -0.2, 0.3])
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+        # poison-free warm step so the moments are non-trivial
+        params, opt_state, flag0 = harness.guarded_update(
+            opt, jnp.ones(3), opt_state, params, jnp.float32(1.0))
+        assert float(flag0) == 0.0
+
+        new_params, new_opt, flag = harness.guarded_update(
+            opt, grads, opt_state, params, loss)
+        assert float(flag) == 1.0
+        np.testing.assert_array_equal(np.asarray(new_params),
+                                      np.asarray(params))
+        for a, b in zip(jax.tree_util.tree_leaves(new_opt),
+                        jax.tree_util.tree_leaves(opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(new_opt))
+
+    def test_dcp_train_step_skips_poisoned_batch(self):
+        """End-to-end through a trainer step function: a batch carrying a NaN
+        leaves params and Adam state bitwise unchanged and counts 1."""
+        from a_robust_registration_loss_tpu.models.dcp import DCPConfig
+        from a_robust_registration_loss_tpu.train import dcp as TD
+
+        cfg = TD.DCPTrainConfig(
+            lr=1e-3,
+            loss=L.LossConfig(n_lines=128, line_chunk=None),
+            model=DCPConfig(emb_nn="pointnet", pointer="identity", head="svd",
+                            emb_dims=32, ff_dims=32, n_heads=2),
+        )
+        model, optimizer, train_step, _, _ = TD.make_steps(cfg)
+        batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+        params = TD.init_params(model, jax.random.PRNGKey(0), batch)
+        opt_state = optimizer.init(params)
+        step = jax.jit(train_step)
+        key = jax.random.PRNGKey(1)
+
+        # clean batch: updates apply, counter 0
+        p1, o1, m1 = step(params, opt_state, batch, key)
+        assert float(m1["nonfinite_steps"]) == 0.0
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(p1),
+                            jax.tree_util.tree_leaves(params)))
+
+        poisoned = dict(batch)
+        poisoned["points_src_sample"] = (
+            batch["points_src_sample"].at[0, 0, 0].set(jnp.nan))
+        p2, o2, m2 = step(p1, o1, poisoned, key)
+        assert float(m2["nonfinite_steps"]) == 1.0
+        for a, b in zip(jax.tree_util.tree_leaves(p2),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(o2),
+                        jax.tree_util.tree_leaves(o1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the NEXT clean step proceeds from uncorrupted state
+        p3, o3, m3 = step(p2, o2, batch, key)
+        assert float(m3["nonfinite_steps"]) == 0.0
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(p3))
+
+    def test_counter_summed_not_averaged(self, tmp_path):
+        """nonfinite_steps aggregates by SUM over the epoch (COUNTER_KEYS);
+        ordinary metrics stay per-batch means."""
+        import optax
+
+        calls = {"n": 0}
+        opt = optax.sgd(0.0)
+
+        def train_step(params, opt_state, batch, key):
+            calls["n"] += 1
+            return params, opt_state, {
+                "loss": jnp.float32(2.0),
+                "nonfinite_steps": jnp.float32(1.0),
+            }
+
+        class _Loader:
+            def __iter__(self):
+                return iter([{"x": np.zeros(1, np.float32)}] * 3)
+
+            def __len__(self):
+                return 3
+
+        cfg = harness.FitConfig(epochs=1, exp_dir=str(tmp_path / "cnt"),
+                                save_every=0, log_tensorboard=False,
+                                resume=False)
+        tr = harness.Trainer(train_step, None, cfg)
+        params = {"w": jnp.zeros(1)}
+        _, _, history = tr.fit(params, opt.init(params), _Loader(),
+                               log=lambda *a: None)
+        assert history[0]["nonfinite_steps"] == 3.0   # summed
+        assert history[0]["loss"] == 2.0              # averaged
