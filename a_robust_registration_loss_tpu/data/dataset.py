@@ -421,6 +421,122 @@ class PrefetchLoader:
             yield item
 
 
+class DeviceCache:
+    """Device-resident dataset cache: the whole (tiny) dataset is stacked and
+    transferred ONCE, and per-epoch batches are gathered on device.
+
+    Round-3 verdict task 1: training epochs were idling the chip 3-5x over
+    their device compute on host work — per-pair OBJ reads, per-batch
+    device_put, and fetch round-trips over the tunneled link. At reference
+    scale (48-60 pairs of 1024-pt clouds) the entire dataset is a few MB, so
+    the host loop is pure overhead. This wrapper:
+
+    - stacks every item of the wrapped ``Loader``'s dataset once (host) and
+      ``jax.device_put``s the stacked dict once;
+    - reproduces the Loader's exact shuffle stream (a pure function of
+      (seed, epoch)), so batch composition — and therefore every loss — is
+      bit-identical to the streaming path;
+    - exposes ``device_epoch(epoch)`` for the Trainer's scanned-epoch fast
+      path (ONE device dispatch per epoch, train/harness.py), and stays an
+      ordinary batch iterable (device-side gathers) for code that loops
+      batches (e.g. artifact dumps).
+
+    Epoch-varying corruption (CorruptConfig) is host-side by design, so
+    corrupted datasets cannot be cached — ``maybe_device_cache`` falls back
+    to the streaming Loader for those. The role being replaced is the
+    reference's DataLoader worker overlap (pre_dataloader.py:220-233); this
+    beats it by removing the per-batch host work entirely rather than
+    hiding it.
+    """
+
+    def __init__(self, loader: "Loader", sharding=None):
+        import jax
+
+        ds = loader.dataset
+        if getattr(ds, "corrupt", None) is not None:
+            raise ValueError("DeviceCache cannot cache epoch-varying "
+                             "corruption; use the streaming Loader")
+        items = [ds[i] for i in range(len(ds))]
+        if not items:
+            raise ValueError("empty dataset")
+        stacked = collate(items)
+        self.data = jax.device_put(stacked, sharding)
+        self.n = len(items)
+        self.batch_size = loader.batch_size
+        self.shuffle = loader.shuffle
+        self.drop_last = loader.drop_last
+        self.seed = loader.seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def __len__(self):
+        n, b = self.n, self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def _order(self, epoch: int):
+        order = np.arange(self.n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, epoch)).permutation(self.n)
+        return order
+
+    def device_epoch(self, epoch: int):
+        """(data, full_idx (n_full, B) int32, rem_idx (r,) int32 or None):
+        the device-resident epoch plan. ``full_idx`` rows are scanned as one
+        device program; a non-empty remainder (drop_last=False, n % B != 0)
+        is one extra differently-shaped batch handled outside the scan."""
+        order = self._order(epoch)
+        n_full = self.n // self.batch_size
+        full = order[: n_full * self.batch_size].reshape(
+            n_full, self.batch_size).astype(np.int32)
+        rem = order[n_full * self.batch_size:].astype(np.int32)
+        if self.drop_last or rem.size == 0:
+            rem = None
+        return self.data, full, rem
+
+    def gather(self, idx):
+        """One device-resident batch by row indices (jitted gather)."""
+        import jax
+
+        return jax.tree_util.tree_map(lambda a: a[jnp_asarray(idx)], self.data)
+
+    def __iter__(self):
+        _, full, rem = self.device_epoch(self.epoch)
+        self.epoch += 1
+        for row in full:
+            yield self.gather(row)
+        if rem is not None:
+            yield self.gather(rem)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def maybe_device_cache(loader, sharding=None, max_bytes=2 << 30):
+    """Wrap a Loader in a DeviceCache when the dataset is cacheable (no
+    epoch-varying corruption, sized, and small enough to live in HBM next to
+    the working set); return the loader unchanged otherwise. Set
+    ARRL_NO_DEVICE_CACHE=1 to force the streaming path."""
+    if os.environ.get("ARRL_NO_DEVICE_CACHE") == "1":
+        return loader
+    if not isinstance(loader, Loader):
+        return loader
+    ds = loader.dataset
+    if getattr(ds, "corrupt", None) is not None or not len(ds):
+        return loader
+    item_bytes = sum(np.asarray(v).nbytes for v in ds[0].values())
+    if item_bytes * len(ds) > max_bytes:
+        return loader
+    try:
+        return DeviceCache(loader, sharding)
+    except (ValueError, TypeError):
+        return loader
+
+
 def pair_lists_views(data_path: str, n_meshes: int, n_views: int):
     """src_sample_{mesh}_{view}.obj layout (human/airplane datasets,
     pre_dataloader.py:190-209)."""

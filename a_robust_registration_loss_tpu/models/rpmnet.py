@@ -64,7 +64,8 @@ def query_ball_point_excl(radius, nsample, xyz, new_xyz, itself_indices):
     # knock out the center point
     self_mask = group_idx == itself_indices[:, :, None]
     group_idx = jnp.where(self_mask | (sqrdists > radius**2), N, group_idx)
-    group_idx = jnp.sort(group_idx, axis=-1)[:, :, :nsample]
+    # k-smallest selection instead of a full row sort (G._smallest_k note)
+    group_idx = G._smallest_k(group_idx, nsample)
     backfill = jnp.broadcast_to(itself_indices[:, :, None], group_idx.shape)
     return jnp.where(group_idx == N, backfill, group_idx).astype(jnp.int32)
 

@@ -91,10 +91,22 @@ def query_ball_point(radius, nsample: int, xyz, new_xyz):
     sqrdists = square_distance(new_xyz, xyz)
     group_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, S, N))
     group_idx = jnp.where(sqrdists > radius**2, N, group_idx)
-    group_idx = jnp.sort(group_idx, axis=-1)[:, :, :nsample]
+    group_idx = _smallest_k(group_idx, nsample)
     group_first = jnp.broadcast_to(group_idx[:, :, :1], group_idx.shape)
     group_idx = jnp.where(group_idx == N, group_first, group_idx)
     return jnp.minimum(group_idx, N - 1)
+
+
+def _smallest_k(values, k: int):
+    """The k smallest values along the last axis, ascending — value-equal to
+    ``jnp.sort(values, -1)[..., :k]`` (the reference's sort-truncate,
+    utils.py:309) but via top_k selection: the full (B, S, N) row sort was
+    the hottest op of the RPM train step (round-3 verdict task 3), and a
+    k<<N selection network beats an N log N sort on the VPU. top_k returns
+    the k largest of ``-values`` in descending order == the k smallest of
+    ``values`` ascending; only VALUES are consumed, so top_k's tie order is
+    irrelevant (and these rows are distinct indices anyway)."""
+    return -jax.lax.top_k(-values, k)[0]
 
 
 def sample_and_group(npoint: int, radius, nsample: int, xyz, points=None,

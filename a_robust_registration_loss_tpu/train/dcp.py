@@ -119,7 +119,14 @@ def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
           init_from=None, log=print, mesh=None):
     """Full training entry (the reference's train(), Train_DCP.py:534-705).
     Returns (params, history)."""
+    from a_robust_registration_loss_tpu.data import dataset as DS
+
     model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
+    # device-resident epochs (verdict r3 task 1): cacheable datasets are
+    # transferred once and each epoch runs as one scanned device program
+    train_loader = DS.maybe_device_cache(train_loader)
+    if test_loader is not None:
+        test_loader = DS.maybe_device_cache(test_loader)
     batch0 = next(iter(train_loader))
     key = jax.random.PRNGKey(cfg.fit.seed)
     params = init_from if init_from is not None else init_params(model, key,

@@ -116,7 +116,13 @@ def init_params(model, key, batch, maxiter=2):
 
 def train(cfg: FMRTrainConfig, train_loader, test_loader=None,
           init_from=None, log=print, mesh=None):
+    from a_robust_registration_loss_tpu.data import dataset as DS
+
     model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
+    # device-resident epochs (verdict r3 task 1)
+    train_loader = DS.maybe_device_cache(train_loader)
+    if test_loader is not None:
+        test_loader = DS.maybe_device_cache(test_loader)
     batch0 = next(iter(train_loader))
     key = jax.random.PRNGKey(cfg.fit.seed)
     params = init_from if init_from is not None else init_params(model, key,

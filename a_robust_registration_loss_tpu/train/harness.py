@@ -107,8 +107,12 @@ class Trainer:
                  score_mode: str = "min",
                  artifact_fn: Optional[Callable] = None,
                  mesh=None):
+        self._train_step_raw = train_step
+        self._eval_step_raw = eval_step
         self.train_step = jax.jit(train_step)
         self.eval_step = jax.jit(eval_step) if eval_step is not None else None
+        self._train_epoch_jit = None   # scanned-epoch programs, built lazily
+        self._eval_epoch_jit = None
         self.cfg = cfg
         self.score_key = score_key
         self.score_mode = score_mode
@@ -151,6 +155,84 @@ class Trainer:
             return None
         return np.asarray(jax.random.split(ekey, n))
 
+    # ---- scanned-epoch fast path (device-resident datasets) ------------
+    #
+    # When a loader exposes device_epoch() (data/dataset.py DeviceCache),
+    # the whole training epoch runs as ONE jitted lax.scan over its batches:
+    # batches are gathered on device from the resident dataset, so the only
+    # per-epoch host work is the shuffle permutation and a single stacked
+    # metrics fetch. Batch composition and per-batch PRNG keys are byte-
+    # identical to the streaming path (asserted by
+    # tests/test_train_harnesses.py::TestDeviceCacheEquality); metric values
+    # match except through the line resampler's knife-edge accept test
+    # (A+B+C <= S), where the scan-body compilation can flip a few accepts
+    # vs the standalone step program — same caveat as GSPMD repartitioning,
+    # train/losses.py batch_lines.
+
+    def _constrain_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from jax.sharding import PartitionSpec as P
+
+        from a_robust_registration_loss_tpu.parallel import mesh as pmesh
+
+        return jax.tree_util.tree_map(
+            lambda a: pmesh.constrain(a, self.mesh, P("dp")), batch)
+
+    def _train_epoch_fn(self):
+        if self._train_epoch_jit is None:
+            step = self._train_step_raw
+
+            def epoch_fn(params, opt_state, data, idx, keys):
+                def body(carry, xs):
+                    p, o = carry
+                    i, k = xs
+                    batch = jax.tree_util.tree_map(lambda a: a[i], data)
+                    batch = self._constrain_batch(batch)
+                    p, o, m = step(p, o, batch, k)
+                    return (p, o), m
+
+                (params, opt_state), ms = jax.lax.scan(
+                    body, (params, opt_state), (idx, keys))
+                return params, opt_state, ms
+
+            self._train_epoch_jit = jax.jit(epoch_fn)
+        return self._train_epoch_jit
+
+    def _eval_epoch_fn(self):
+        if self._eval_epoch_jit is None:
+            step = self._eval_step_raw
+
+            def epoch_fn(params, data, idx, keys):
+                def body(carry, xs):
+                    i, k = xs
+                    batch = jax.tree_util.tree_map(lambda a: a[i], data)
+                    batch = self._constrain_batch(batch)
+                    return carry, step(params, batch, k)
+
+                _, ms = jax.lax.scan(body, 0, (idx, keys))
+                return ms
+
+            self._eval_epoch_jit = jax.jit(epoch_fn)
+        return self._eval_epoch_jit
+
+    @staticmethod
+    def _reduce_stacked(ms, extra=()):
+        """Stacked (n_batches, ...) per-batch metrics -> epoch aggregates:
+        COUNTER_KEYS summed, everything else averaged; ``extra`` holds
+        remainder-batch metric dicts (drop_last=False tails) that weigh one
+        batch each, matching the streaming path."""
+        out = {}
+        host = jax.device_get(ms)
+        extra = [jax.device_get(e) for e in extra]
+        for k, v in host.items():
+            vals = list(np.asarray(v).reshape(np.asarray(v).shape[0], -1)
+                        .mean(-1)) + [float(np.asarray(e[k]).mean())
+                                      for e in extra]
+            s = float(np.sum(vals))
+            out[k] = s if k in COUNTER_KEYS else s / max(len(vals), 1)
+        return out
+
     def restore(self, params, opt_state):
         """Reload-latest when resume is on. Returns (params, opt_state,
         start_epoch)."""
@@ -179,61 +261,101 @@ class Trainer:
             ekey = jax.random.fold_in(root_key, epoch)
             batch_keys = self._epoch_keys(ekey, train_loader)
             t0 = time.perf_counter()
-            agg, n_batches = {}, 0
 
-            def _absorb(device_metrics):
-                # ONE host transfer for the whole metrics dict — per-scalar
-                # float() would block once per metric per batch, which over
-                # a tunneled device dominates small-step training loops
-                for k, v in jax.device_get(device_metrics).items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+            if hasattr(train_loader, "device_epoch"):
+                # ONE device dispatch for the whole epoch (scanned batches
+                # over the device-resident dataset) + one metrics fetch
+                data, full_idx, rem = train_loader.device_epoch(epoch)
+                params, opt_state, ms = self._train_epoch_fn()(
+                    params, opt_state, data, full_idx,
+                    batch_keys[: len(full_idx)])
+                step_idx += len(full_idx)
+                extra = []
+                if rem is not None:   # drop_last=False tail (ragged shape)
+                    params, opt_state, m_rem = self.train_step(
+                        params, opt_state,
+                        self._constrain_batch(train_loader.gather(rem)),
+                        batch_keys[len(full_idx)])
+                    step_idx += 1
+                    extra.append(m_rem)
+                train_metrics = self._reduce_stacked(ms, extra)
+            else:
+                agg, n_batches = {}, 0
 
-            # the metrics fetch runs one batch behind the dispatch so its
-            # round trip overlaps the next step's device compute (and the
-            # loader's host-side batch prep) instead of serializing with it
-            pending_metrics = None
-            for bi, batch in enumerate(train_loader):
-                sub = (batch_keys[bi] if batch_keys is not None
-                       and bi < len(batch_keys)
-                       else jax.random.fold_in(ekey, bi))
-                batch = self._put(batch)
+                def _absorb(device_metrics):
+                    # ONE host transfer for the whole metrics dict — per-
+                    # scalar float() would block once per metric per batch,
+                    # which over a tunneled device dominates small-step
+                    # training loops
+                    for k, v in jax.device_get(device_metrics).items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+
+                # the metrics fetch runs one batch behind the dispatch so
+                # its round trip overlaps the next step's device compute
+                # (and the loader's host-side batch prep) instead of
+                # serializing with it
+                pending_metrics = None
+                for bi, batch in enumerate(train_loader):
+                    sub = (batch_keys[bi] if batch_keys is not None
+                           and bi < len(batch_keys)
+                           else jax.random.fold_in(ekey, bi))
+                    batch = self._put(batch)
+                    if pending_metrics is not None:
+                        _absorb(pending_metrics)
+                    params, opt_state, pending_metrics = self.train_step(
+                        params, opt_state, batch, sub
+                    )
+                    step_idx += 1
+                    n_batches += 1
                 if pending_metrics is not None:
                     _absorb(pending_metrics)
-                params, opt_state, pending_metrics = self.train_step(
-                    params, opt_state, batch, sub
-                )
-                step_idx += 1
-                n_batches += 1
-            if pending_metrics is not None:
-                _absorb(pending_metrics)
-            train_metrics = {
-                k: (v if k in COUNTER_KEYS else v / max(n_batches, 1))
-                for k, v in agg.items()}
+                train_metrics = {
+                    k: (v if k in COUNTER_KEYS else v / max(n_batches, 1))
+                    for k, v in agg.items()}
             self.writer.add_scalars(train_metrics, epoch, prefix="train/")
 
             eval_metrics = {}
             if self.eval_step is not None and test_loader is not None:
-                eagg, m = {}, 0
-
-                def _eabsorb(device_metrics):
-                    for k, v in jax.device_get(device_metrics).items():
-                        eagg[k] = eagg.get(k, 0.0) + float(v)
-
                 eval_keys = self._epoch_keys(
                     jax.random.fold_in(ekey, 1_000_000), test_loader)
-                pending_eval = None  # same one-batch-behind fetch as train
-                for bi, batch in enumerate(test_loader):
-                    sub = (eval_keys[bi] if eval_keys is not None
-                           and bi < len(eval_keys)
-                           else jax.random.fold_in(ekey, 1_000_000 + bi))
-                    batch = self._put(batch)
+                if hasattr(test_loader, "device_epoch"):
+                    data, full_idx, rem = test_loader.device_epoch(epoch)
+                    extra = []
+                    ms = None
+                    if len(full_idx):
+                        ms = self._eval_epoch_fn()(
+                            params, data, full_idx,
+                            eval_keys[: len(full_idx)])
+                    if rem is not None:
+                        extra.append(self.eval_step(
+                            params,
+                            self._constrain_batch(test_loader.gather(rem)),
+                            eval_keys[len(full_idx)]))
+                    if ms is not None:
+                        eval_metrics = self._reduce_stacked(ms, extra)
+                    else:
+                        eval_metrics = self._reduce_stacked(
+                            {k: np.zeros((0,)) for k in extra[0]}, extra)
+                else:
+                    eagg, m = {}, 0
+
+                    def _eabsorb(device_metrics):
+                        for k, v in jax.device_get(device_metrics).items():
+                            eagg[k] = eagg.get(k, 0.0) + float(v)
+
+                    pending_eval = None  # one-batch-behind fetch like train
+                    for bi, batch in enumerate(test_loader):
+                        sub = (eval_keys[bi] if eval_keys is not None
+                               and bi < len(eval_keys)
+                               else jax.random.fold_in(ekey, 1_000_000 + bi))
+                        batch = self._put(batch)
+                        if pending_eval is not None:
+                            _eabsorb(pending_eval)
+                        pending_eval = self.eval_step(params, batch, sub)
+                        m += 1
                     if pending_eval is not None:
                         _eabsorb(pending_eval)
-                    pending_eval = self.eval_step(params, batch, sub)
-                    m += 1
-                if pending_eval is not None:
-                    _eabsorb(pending_eval)
-                eval_metrics = {k: v / max(m, 1) for k, v in eagg.items()}
+                    eval_metrics = {k: v / max(m, 1) for k, v in eagg.items()}
                 self.writer.add_scalars(eval_metrics, epoch, prefix="test/")
 
             score = eval_metrics.get(self.score_key,

@@ -102,6 +102,17 @@ class TestKNNAndBallQuery:
         # queries always contain themselves here, so no empty-ball divergence
         np.testing.assert_array_equal(ours, gi.numpy())
 
+    def test_smallest_k_equals_sort_truncate(self, rng):
+        """The top_k selection path (round-3 verdict task 3) is value-equal
+        to the reference's full sort-truncate for any k, including rows that
+        are all-sentinel (empty balls) and duplicated sentinel ties."""
+        vals = rng.integers(0, 50, size=(3, 17, 40)).astype(np.int32)
+        vals[0, 0] = 50  # an "empty ball" row: all sentinel
+        for k in (1, 5, 40):
+            got = np.asarray(G._smallest_k(jnp.asarray(vals), k))
+            want = np.sort(vals, axis=-1)[:, :, :k]
+            np.testing.assert_array_equal(got, want)
+
 
 class TestBBoxAndChamfer:
     def test_bbox_corner_ordering_matches_reference(self, torch_reference, rng):
