@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 
 import jax
@@ -36,15 +37,26 @@ from a_robust_registration_loss_tpu.train import losses as L
 @dataclasses.dataclass(frozen=True)
 class DCPTrainConfig:
     lr: float = 1e-6                      # Train_DCP.py:553
+    # The reference fine-tunes a SUPERVISED-pretrained DCP with the
+    # intersection loss (the pretrained load at Train_DCP.py:890-893; its
+    # checkpoint blob is external). These produce that init in-repo: a
+    # supervised pretrain on the GT the dataset contract already carries,
+    # optimizing the reference's logged-only loss_gt (Train_DCP.py:393-397)
+    # with a fresh Adam — the main phase then starts from the pretrained
+    # params with a fresh optimizer, exactly like a checkpoint load.
+    pretrain_epochs: int = 0
+    pretrain_lr: float = 1e-4
     loss: L.LossConfig = L.LossConfig(n_lines=15000)
     model: DCPConfig = DCPConfig()
     fit: harness.FitConfig = harness.FitConfig()
 
 
 def make_steps(cfg: DCPTrainConfig):
-    """(model, optimizer, train_step, eval_step, artifact_fn)."""
+    """(model, optimizer, train_step, eval_step, pretrain_step,
+    artifact_fn)."""
     model = DCP(cfg.model)
     optimizer = optax.adam(cfg.lr)
+    pretrain_optimizer = optax.adam(cfg.pretrain_lr)
 
     def forward(params, batch):
         return model.apply({"params": params}, batch["points_src_sample"],
@@ -62,6 +74,27 @@ def make_steps(cfg: DCPTrainConfig):
             optimizer, grads, opt_state, params, loss)
         return params, opt_state, dict(monitors, loss=loss,
                                        nonfinite_steps=nonfinite)
+
+    def pretrain_step(params, opt_state, batch, key):
+        """Supervised pretraining step: optimize loss_gt (the reference's
+        logged-only supervised loss, Train_DCP.py:393-397) plus euler
+        monitors — no line sampling, so it is cheap."""
+        def loss_fn(p):
+            R_ab, t_ab, _, _ = forward(p, batch)
+            loss = EM.gt_consistency_loss(R_ab, t_ab, batch["R"], batch["T"])
+            return loss, (R_ab, t_ab)
+
+        (loss, (R_ab, t_ab)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state, nonfinite = harness.guarded_update(
+            pretrain_optimizer, grads, opt_state, params, loss)
+        mae, rmse = EM.rotation_euler_errors(jax.lax.stop_gradient(R_ab),
+                                             batch["R"], seq="xyz")
+        return params, opt_state, dict(
+            loss=loss, loss_rot_euler_mae=mae, loss_rot_euler_rmse=rmse,
+            loss_translation=EM.translation_mse(
+                jax.lax.stop_gradient(t_ab), batch["T"]),
+            nonfinite_steps=nonfinite)
 
     def eval_step(params, batch, key):
         """The reference test_one_epoch's per-batch battery
@@ -107,7 +140,7 @@ def make_steps(cfg: DCPTrainConfig):
         return (batch["points_src_sample"][0], pred[0],
                 batch["points_tar_sample"][0], gt[0])
 
-    return model, optimizer, train_step, eval_step, artifact_fn
+    return model, optimizer, train_step, eval_step, pretrain_step, artifact_fn
 
 
 def init_params(model, key, batch):
@@ -121,7 +154,8 @@ def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
     Returns (params, history)."""
     from a_robust_registration_loss_tpu.data import dataset as DS
 
-    model, optimizer, train_step, eval_step, artifact_fn = make_steps(cfg)
+    (model, optimizer, train_step, eval_step, pretrain_step,
+     artifact_fn) = make_steps(cfg)
     # device-resident epochs (verdict r3 task 1): cacheable datasets are
     # transferred once and each epoch runs as one scanned device program
     train_loader = DS.maybe_device_cache(train_loader)
@@ -131,6 +165,22 @@ def train(cfg: DCPTrainConfig, train_loader, test_loader=None,
     key = jax.random.PRNGKey(cfg.fit.seed)
     params = init_from if init_from is not None else init_params(model, key,
                                                                  batch0)
+
+    if cfg.pretrain_epochs:
+        # supervised pretrain phase (the init the reference LOADS,
+        # Train_DCP.py:890-893, produced in-repo): its own Trainer so the
+        # scanned-epoch fast path applies; fresh optimizer both phases
+        pre_fit = dataclasses.replace(
+            cfg.fit, epochs=cfg.pretrain_epochs,
+            exp_dir=os.path.join(cfg.fit.exp_dir, "pretrain"))
+        pre_opt = optax.adam(cfg.pretrain_lr)
+        pre_trainer = harness.Trainer(pretrain_step, None, pre_fit,
+                                      score_key="loss", score_mode="min",
+                                      mesh=mesh)
+        params, _, pre_hist = pre_trainer.fit(
+            params, pre_opt.init(params), train_loader,
+            log=lambda m: log(f"[pretrain] {m}"))
+
     opt_state = optimizer.init(params)
     trainer = harness.Trainer(train_step, eval_step, cfg.fit,
                               score_key="loss", score_mode="min",
@@ -155,7 +205,7 @@ def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
 
     import numpy as np
 
-    model, _, _, eval_step, _ = make_steps(cfg)
+    model, _, _, eval_step, _, _ = make_steps(cfg)
 
     @jax.jit
     def step(params, batch, key):
@@ -253,6 +303,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-6)
+    ap.add_argument("--pretrain_epochs", type=int, default=0,
+                    help="supervised pretrain epochs on the GT loss before "
+                         "the unsupervised phase — produces in-repo the "
+                         "pretrained init the reference loads "
+                         "(Train_DCP.py:890-893)")
+    ap.add_argument("--pretrain_lr", type=float, default=1e-4)
     ap.add_argument("--n_lines", type=int, default=15000)
     ap.add_argument("--emb_nn", default="pointnet", choices=["pointnet", "dgcnn"])
     ap.add_argument("--pointer", default="transformer",
@@ -326,6 +382,8 @@ def main(argv=None):
         train_count=args.train_count))
     cfg = DCPTrainConfig(
         lr=args.lr,
+        pretrain_epochs=args.pretrain_epochs,
+        pretrain_lr=args.pretrain_lr,
         loss=L.LossConfig(n_lines=args.n_lines, cycle=args.cycle,
                           backend=args.backend, mesh=mesh),
         model=DCPConfig(emb_nn=args.emb_nn, pointer=args.pointer,
@@ -347,7 +405,7 @@ def main(argv=None):
 
         if init_from is not None:
             ap.error("--init_from_ckpt and --init_from_torch are exclusive")
-        model, optimizer, _, _, _ = make_steps(cfg)
+        model, optimizer, _, _, _, _ = make_steps(cfg)
         b0 = next(iter(train_loader), None)
         if b0 is None:
             b0 = next(iter(test_loader))
@@ -362,7 +420,7 @@ def main(argv=None):
 
         from a_robust_registration_loss_tpu.utils import CheckPointManager
 
-        model, optimizer, _, _, _ = make_steps(cfg)
+        model, optimizer, _, _, _, _ = make_steps(cfg)
         # init SHAPES only; the train split can be empty in eval-only runs
         batch0 = next(iter(train_loader), None)
         if batch0 is None:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -153,10 +154,9 @@ def make_steps(cfg: RPMTrainConfig):
             return jnp.mean((R - eye) ** 2) + jnp.mean(t**2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = pretrain_optimizer.update(grads, opt_state,
-                                                       params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, dict(loss=loss)
+        params, opt_state, nonfinite = harness.guarded_update(
+            pretrain_optimizer, grads, opt_state, params, loss)
+        return params, opt_state, dict(loss=loss, nonfinite_steps=nonfinite)
 
     def artifact_fn(params, batch, key):
         transforms, _ = forward(params, batch, cfg.num_eval_reg_iter)
@@ -199,14 +199,29 @@ def train(cfg: RPMTrainConfig, train_loader, test_loader=None,
     opt_state = optimizer.init(params)
 
     if cfg.pretrain_epochs:
-        pstep = jax.jit(pretrain_step)
+        # identity pretraining through its own Trainer so the scanned
+        # device-resident epoch path applies (pretrain_step is key-free and
+        # line-free, so this phase is fully deterministic given the shuffle
+        # stream). opt_state is shared with the main phase — the reference's
+        # single Adam instance carries its moments (Train_RPM.py:434).
         log_every = max(1, cfg.pretrain_epochs // 50)
-        for epoch in range(cfg.pretrain_epochs):
-            for batch in train_loader:
-                key, sub = jax.random.split(key)
-                params, opt_state, m = pstep(params, opt_state, batch, sub)
-            if epoch % log_every == 0 or epoch == cfg.pretrain_epochs - 1:
-                log(f"pretrain epoch {epoch}: loss={float(m['loss']):.6f}")
+        pre_fit = dataclasses.replace(
+            cfg.fit, epochs=cfg.pretrain_epochs, save_every=0,
+            artifacts_every=0, resume=False,
+            exp_dir=os.path.join(cfg.fit.exp_dir, "pretrain"))
+        pre_trainer = harness.Trainer(pretrain_step, None, pre_fit,
+                                      score_key="loss", mesh=mesh)
+
+        state = {"n": 0}
+
+        def pre_log(msg):
+            if state["n"] % log_every == 0 or \
+                    state["n"] == cfg.pretrain_epochs - 1:
+                log(f"pretrain {msg}")
+            state["n"] += 1
+
+        params, opt_state, _ = pre_trainer.fit(params, opt_state,
+                                               train_loader, log=pre_log)
         if not cfg.pretrain_carry_moments:
             opt_state = optimizer.init(params)  # fresh moments instead of
             #                                     the reference's carry-over

@@ -161,6 +161,85 @@ def pallas_gate(data, n_lines: int = 1024, n_faces: int = 512):
         raise SystemExit(1)
 
 
+# --- chip peak assumptions for the roofline numbers (TPU v5 lite / v5e) ---
+# MXU: 197 bf16 TFLOP/s (datasheet; == 4 MXUs x 128x128 x 2 FLOP @ ~1.5 GHz).
+# VPU: (8, 128) lanes x 4 ALUs x ~1.5 GHz ~= 6.1 T scalar-op/s. The VPU
+# figure is an architectural estimate (no published datasheet number); the
+# roofline % below is relative to it and says so in the key name.
+VPU_PEAK_OPS = 8 * 128 * 4 * 1.5e9
+MXU_PEAK_BF16 = 197e12
+
+
+def stage1_op_counts(n_faces: int, n_lines: int, nnei: int = 3,
+                     kmax: int = 4, tf: int = 128):
+    """Counted per-iteration stage-1 work, BOTH clouds (verdict r4 task 4).
+
+    VPU ops per (face, line) pair (ops/pallas/intersect.py:_kernel):
+      per neighbor, per component: diff (1) + d_ac FMA (2) + proj FMA (2)
+        = 5  -> 15 per neighbor;
+      per neighbor: d2 = d_ac - proj*proj (2) + threshold compare (1)
+        + label AND (1) = 4;
+      per pair: hits float cast (1) + rank = csum - hits + carry (2)
+        + rank_sel where (1) + kmax one-hot compares (kmax).
+    Total = nnei*19 + 4 + kmax = 65 for (nnei=3, kmax=4).
+
+    MXU FLOPs per pair: the rank prefix-sum matmul contracts a (tf, tf)
+    triangular mask -> 2*tf bf16 FLOPs per output element; the kmax exact
+    one-hot slot gathers contract (3*nnei+1, tf) @ (tf, tl) at HIGHEST
+    (3-pass bf16) -> 3 * 2 * (3*nnei+1) * kmax per pair.
+    """
+    pairs = 2 * n_faces * n_lines   # both clouds
+    vpu_per_pair = nnei * 19 + 4 + kmax
+    mxu_per_pair = 2 * tf + 3 * 2 * (3 * nnei + 1) * kmax
+    return pairs, pairs * vpu_per_pair, pairs * mxu_per_pair
+
+
+def roofline(data, n_lines: int):
+    """Measure the paired stage-1 dispatch alone and convert the counted
+    FLOPs into achieved throughput + % of chip peak. Returns a dict merged
+    into the headline JSON (recorded in BENCH_r{N}.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from a_robust_registration_loss_tpu.ops import lines as LN
+    from a_robust_registration_loss_tpu.ops import metric as M
+
+    n1, n2 = data["neis_src"], data["neis_tar"]
+    lines = jax.jit(LN.resample_lines, static_argnums=3)(
+        jax.random.PRNGKey(3), data["radius"], data["center"], n_lines,
+        data["src"], data["tar"])
+
+    @jax.jit
+    def stage1(a, b, ls, t):
+        return M._rigid_slots_lanemajor(jnp.eye(3, dtype=a.dtype), t, a, b,
+                                        ls, 4, False)
+
+    t_arg = jnp.full((3,), 0.01, n1.dtype)
+    out = stage1(n1, n2, lines, t_arg)   # compile + warm
+    jax.block_until_ready(out)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = stage1(n1, n2, lines, t_arg)
+    jax.block_until_ready(out)
+    stage1_ms = (time.perf_counter() - t0) / n * 1000
+
+    F = int(np.asarray(n1).shape[0])
+    pairs, vpu_ops, mxu_flops = stage1_op_counts(F, n_lines)
+    vpu_rate = vpu_ops / (stage1_ms / 1000)
+    mxu_rate = mxu_flops / (stage1_ms / 1000)
+    return {
+        "stage1_ms": round(stage1_ms, 3),
+        "stage1_pairs_per_iter": pairs,
+        "stage1_vpu_gops_per_iter": round(vpu_ops / 1e9, 3),
+        "stage1_mxu_gflops_per_iter": round(mxu_flops / 1e9, 3),
+        "stage1_vpu_tops_per_sec": round(vpu_rate / 1e12, 3),
+        "stage1_mxu_tflops_per_sec": round(mxu_rate / 1e12, 3),
+        "pct_vpu_peak_assumed_6.1T": round(100 * vpu_rate / VPU_PEAK_OPS, 1),
+        "pct_mxu_peak_197T": round(100 * mxu_rate / MXU_PEAK_BF16, 1),
+    }
+
+
 def main():
     import jax
 
@@ -215,6 +294,10 @@ def main():
     dt = time.perf_counter() - t0
     metrics = {k: v[-1] for k, v in metrics.items()}
 
+    roof = {}
+    if jax.default_backend() not in ("cpu",):
+        roof = roofline(data, N_LINES)
+
     iters_per_sec = ITERS / dt
     out = {
         "metric": "registration_iters_per_sec_2048pts",
@@ -227,6 +310,7 @@ def main():
         "backend": jax.default_backend(),
         "stage1": "pallas",
         "final_loss": float(metrics["loss"]),
+        **roof,
     }
     print(json.dumps(out))
 

@@ -108,7 +108,7 @@ def main():
                                   line_chunk=None),
                 model=DCPConfig(emb_nn=args.dcp_emb),
             )
-            model, opt, step, _, _ = TD.make_steps(cfg)
+            model, opt, step, _, _, _ = TD.make_steps(cfg)
             params = TD.init_params(model, jax.random.PRNGKey(0), batch)
             extra = {"emb_nn": args.dcp_emb, "n_lines": 15000}
         elif name == "rpm":

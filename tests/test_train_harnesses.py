@@ -371,7 +371,7 @@ class TestSmokeTraining:
                                   save_every=0, log_tensorboard=False,
                                   resume=False),
         )
-        model, _, _, _, _ = TD.make_steps(cfg)
+        model, _, _, _, _, _ = TD.make_steps(cfg)
         batch = make_batch()
         # DCP adapter convention: column rotations (pre_dataloader.py:162-173)
         batch = dict(batch)
@@ -703,7 +703,7 @@ class TestNonFiniteGuard:
             model=DCPConfig(emb_nn="pointnet", pointer="identity", head="svd",
                             emb_dims=32, ff_dims=32, n_heads=2),
         )
-        model, optimizer, train_step, _, _ = TD.make_steps(cfg)
+        model, optimizer, train_step, _, _, _ = TD.make_steps(cfg)
         batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
         params = TD.init_params(model, jax.random.PRNGKey(0), batch)
         opt_state = optimizer.init(params)
@@ -797,7 +797,7 @@ class TestDeviceCacheEquality:
     def _fit(self, cfg, train_loader, test_loader):
         from a_robust_registration_loss_tpu.train import dcp as TD
 
-        model, optimizer, train_step, eval_step, _ = TD.make_steps(cfg)
+        model, optimizer, train_step, eval_step, _, _ = TD.make_steps(cfg)
         batch0 = next(iter(train_loader))
         params = TD.init_params(model, jax.random.PRNGKey(cfg.fit.seed),
                                 batch0)

@@ -184,3 +184,69 @@ class TestRPMVarianceControls:
         assert np.isfinite(fp["rot_rmse_deg"])
         assert os.path.exists(os.path.join(BENCH, "..",
                                            fp["artifact"]))
+
+
+class TestDCPPretrainedProtocol:
+    """benchmarks/TRAINING_dcp_pretrained.json
+    (benchmarks/dcp_pretrained_protocol.py): the reference's ACTUAL DCP
+    workflow — supervised-pretrained init, then UNSUPERVISED intersection
+    fine-tune at Adam lr 1e-6 (Train_DCP.py:553, 890-893) — run end to end,
+    with endpoint bars on the held-out battery."""
+
+    def _art(self):
+        path = os.path.join(BENCH, "TRAINING_dcp_pretrained.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/dcp_pretrained_protocol.py")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_protocol_is_the_references(self):
+        art = self._art()
+        p = art["protocol"]
+        assert p["finetune_lr"] == 1e-6          # Train_DCP.py:553
+        assert p["n_lines"] == 15000             # Train_DCP.py:253-255
+        assert p["pretrain_epochs"] > 0          # pretrained init exists
+
+    def test_finetune_improves_heldout_endpoints(self):
+        """The paper's headline claim at this scale: the unsupervised
+        intersection fine-tune improves the supervised init on held-out
+        rot/trans errors."""
+        art = self._art()
+        d = art["deltas"]
+        assert d["r_rmse_ab"]["improved"], d["r_rmse_ab"]
+        assert d["t_rmse_ab"]["improved"], d["t_rmse_ab"]
+        # and the training objective itself went down on held-out pairs
+        assert d["loss_intersection"]["improved"], d["loss_intersection"]
+
+    def test_endpoints_are_registration_grade(self):
+        art = self._art()
+        fin = art["finetuned_eval"]
+        assert fin["r_rmse_ab"] < 10.0, fin["r_rmse_ab"]   # degrees
+        assert np.isfinite(fin["t_rmse_ab"])
+        tr = np.asarray(art["per_epoch"]["loss_intersection"], np.float64)
+        tr = tr[np.isfinite(tr)]
+        assert tr[-1] < tr[0]          # the fine-tune objective converges
+
+
+class TestEpochDecomposition:
+    """benchmarks/EPOCH_DECOMP.json (benchmarks/epoch_decomposition.py):
+    round-3 verdict task 1 — training epochs must be device-bound (wall <=
+    1.5x device compute) under the scanned device-resident epoch path."""
+
+    def _art(self):
+        path = os.path.join(BENCH, "EPOCH_DECOMP.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/epoch_decomposition.py")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_epochs_device_bound(self):
+        art = self._art()
+        assert art["harnesses"], "no harnesses recorded"
+        for name, rec in art["harnesses"].items():
+            assert rec["wall_over_device"] <= 1.5, (name, rec)
+
+    def test_reference_scale_config(self):
+        art = self._art()
+        assert art["config"]["batch"] == 4
+        assert art["config"]["n_points"] == 1024
