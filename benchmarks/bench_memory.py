@@ -78,7 +78,6 @@ def child(f_points: int, n_lines: int, backend: str, chunk):
         jax.random.PRNGKey(0), jnp.float32(2.2), jnp.zeros(3, jnp.float32),
         n_lines)
     jax.block_until_ready((n1, n2, lines))
-    base = dev.memory_stats().get("peak_bytes_in_use", 0)
 
     @jax.jit
     def run(t, a, b, ls):
@@ -89,16 +88,39 @@ def child(f_points: int, n_lines: int, backend: str, chunk):
 
         return jax.value_and_grad(loss_of)(t)
 
-    loss, grad = run(jnp.full((3,), 0.01, jnp.float32), n1, n2, lines)
-    jax.block_until_ready((loss, grad))
+    t_arg = jnp.full((3,), 0.01, jnp.float32)
+    # XLA's own memory analysis of the compiled fwd+grad program: the
+    # authoritative "what does this program materialize" number (the axon
+    # plugin returns None from device.memory_stats(), and an allocator peak
+    # would fold in caching noise anyway). temp = XLA's scratch for all
+    # intermediates — the O(L*F) tensors land here.
+    compiled = run.lower(t_arg, n1, n2, lines).compile()
+    mem = compiled.memory_analysis()
+    rec = {
+        "temp_bytes": int(getattr(mem, "temp_size_in_bytes", -1)),
+        "argument_bytes": int(getattr(mem, "argument_size_in_bytes", -1)),
+        "output_bytes": int(getattr(mem, "output_size_in_bytes", -1)),
+        "alias_bytes": int(getattr(mem, "alias_size_in_bytes", 0)),
+    }
+    rec["total_bytes"] = (rec["temp_bytes"] + rec["argument_bytes"]
+                          + rec["output_bytes"] - rec["alias_bytes"])
+
+    # also EXECUTE (unless the static analysis already exceeds the chip):
+    # proves the program actually runs at this footprint
+    limit = 15 * 2**30
+    if rec["total_bytes"] < limit:
+        loss, grad = compiled(t_arg, n1, n2, lines)
+        jax.block_until_ready((loss, grad))
+        rec["loss"] = float(loss)
+        rec["finite"] = bool(jnp.isfinite(loss))
+        rec["executed"] = True
+    else:
+        rec["executed"] = False
+        rec["skip_reason"] = "static footprint exceeds chip HBM"
     stats = dev.memory_stats()
-    print(json.dumps({
-        "peak_bytes": int(stats.get("peak_bytes_in_use", -1)),
-        "baseline_bytes": int(base),
-        "bytes_limit": int(stats.get("bytes_limit", -1)),
-        "loss": float(loss),
-        "finite": bool(jnp.isfinite(loss)),
-    }))
+    if stats:
+        rec["peak_bytes_in_use"] = int(stats.get("peak_bytes_in_use", -1))
+    print(json.dumps(rec))
 
 
 def main():
@@ -128,7 +150,7 @@ def main():
             if proc.returncode == 0 and last.startswith("{"):
                 got = json.loads(last)
                 rec.update(got)
-                rec["peak_gib"] = round(got["peak_bytes"] / 2**30, 3)
+                rec["total_gib"] = round(got["total_bytes"] / 2**30, 3)
             else:
                 err = (proc.stderr or "")[-2000:]
                 rec["error"] = ("oom" if "RESOURCE_EXHAUSTED" in err

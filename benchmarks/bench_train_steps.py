@@ -77,6 +77,70 @@ def timeit(f, *args, n=20, warmup=3):
     return (time.perf_counter() - t0) / n * 1000
 
 
+def decompose(name, cfg, model, params, batch, key, args):
+    """Per-op decomposition of one training step (round-3 verdict task 3):
+    time the independently-jitted pieces — model forward, line resampling,
+    metric forward, full loss fwd+grad — so the step total is attributable.
+    Pieces overlap (the full step recomputes the forward), so they are a
+    breakdown of WORK, not a partition of the step wall."""
+    import jax
+    import jax.numpy as jnp
+
+    from a_robust_registration_loss_tpu.train import losses as L
+
+    out = {}
+    radius_scale = 1.0 if name == "rpm" else 0.5
+
+    if name == "dcp":
+        fwd = jax.jit(lambda p, b: model.apply(
+            {"params": p}, b["points_src_sample"], b["points_tar_sample"]))
+    elif name == "rpm":
+        n_iter = cfg.num_train_reg_iter
+
+        fwd = jax.jit(lambda p, b: model.apply(
+            {"params": p}, b["points_src_sample"], b["normals_src"],
+            b["points_tar_sample"], b["normals_tar"], num_iter=n_iter))
+        # the RPM feature pyramid alone (ball query + PPF + feat nets) —
+        # the round-3 suspect (full (B,N,N) sort, now a top_k selection)
+        from a_robust_registration_loss_tpu.models import rpmnet as RM
+
+        grp = jax.jit(lambda b: RM.sample_and_group_multi(
+            cfg.model.radius, cfg.model.num_neighbors,
+            b["points_src_sample"], b["normals_src"]))
+        out["rpm_group_fwd_ms"] = round(timeit(grp, batch), 2)
+    else:
+        maxiter = cfg.train_maxiter
+
+        fwd = jax.jit(lambda p, b: model.apply(
+            {"params": p}, b["points_tar_sample"], b["points_src_sample"],
+            maxiter=maxiter)["g_series"])
+    out["model_fwd_ms"] = round(timeit(fwd, params, batch), 2)
+
+    lines_fn = jax.jit(lambda k, b: L.batch_lines(
+        k, b["tar_box"], b["centers"], cfg.loss.n_lines,
+        b["points_src_sample"], b["points_tar_sample"],
+        radius_scale=radius_scale, backend=cfg.loss.backend))
+    out["lines_ms"] = round(timeit(lines_fn, key, batch), 2)
+    lines = lines_fn(key, batch)
+
+    B = batch["points_src_sample"].shape[0]
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    t = jnp.full((B, 3), 0.01, jnp.float32)
+    n1 = batch["points_based_neighs_src"].reshape(B, -1, 9)
+    n2 = batch["points_based_neighs_tar"].reshape(B, -1, 9)
+    metric_fwd = jax.jit(lambda R, t, a, b, l: L._metric_batch_rt(
+        R, t, a, b, l, cfg.loss).sum())
+    out["metric_fwd_ms"] = round(timeit(metric_fwd, R, t, n1, n2, lines), 2)
+    metric_grad = jax.jit(lambda R, t, a, b, l: jax.value_and_grad(
+        lambda tt: L._metric_batch_rt(R, tt, a, b, l, cfg.loss).sum())(t))
+    out["metric_fwdbwd_ms"] = round(
+        timeit(metric_grad, R, t, n1, n2, lines), 2)
+    n_metric = {"dcp": 1, "rpm": cfg.num_train_reg_iter if name == "rpm"
+                else 1, "fmr": 3}[name]
+    out["metric_calls_per_step"] = n_metric
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="dcp,rpm,fmr")
@@ -85,7 +149,15 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--n_points", type=int, default=1024)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--decompose", action="store_true",
+                    help="also time the step's pieces (model fwd, line "
+                         "resample, metric fwd / fwd+bwd) independently "
+                         "and write TRAIN_STEP_DECOMP.json")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "TRAIN_STEP_DECOMP.json"))
     args = ap.parse_args()
+    all_decomp = {}
 
     import jax
 
@@ -142,11 +214,21 @@ def main():
         opt_state = opt.init(params)
         jstep = jax.jit(step)
         ms = timeit(jstep, params, opt_state, batch, key)
-        print(json.dumps({
+        rec = {
             "harness": name, "ms_per_step": round(ms, 2),
             "batch": args.batch, "n_points": args.n_points,
             "backend": args.backend, **extra,
-        }), flush=True)
+        }
+        if args.decompose:
+            rec["decomposition"] = decompose(name, cfg, model, params, batch,
+                                             key, args)
+            all_decomp[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    if args.decompose:
+        with open(args.out, "w") as f:
+            json.dump(all_decomp, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
