@@ -293,3 +293,87 @@ class TestMemoryNorthStar:
             # same loss from every backend (the measurement is honest)
             np.testing.assert_allclose(pal["loss"], dense["loss"],
                                        rtol=1e-4)
+
+
+class TestScalingCurve:
+    """benchmarks/SCALING_CURVE.json (benchmarks/bench_points_curve.py):
+    round-3 verdict task 7 — the pts-vs-throughput curve tying the 2048-pt
+    single-pair headline (bench.py) to the 16,384-pt LARGE_N endpoint, plus
+    the batched multi-pair mode recorded AT the true-2048 configuration."""
+
+    def _art(self):
+        path = os.path.join(BENCH, "SCALING_CURVE.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/bench_points_curve.py")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_curve_spans_both_endpoints(self):
+        art = self._art()
+        pts = [c["n_points"] for c in art["curve"]]
+        assert 2048 in pts and 16384 in pts, pts
+        assert art["n_lines"] == 20000
+
+    def test_throughput_bars(self):
+        art = self._art()
+        by = {c["n_points"]: c for c in art["curve"]}
+        # headline config: >=10x the reference's ~3.5 it/s with margin
+        # (bench.py records ~345 it/s; scanned blocks here are the same path)
+        assert by[2048]["iters_per_sec"] >= 200, by[2048]
+        # LARGE_N endpoint recorded 112 steps/s at 16,384 pts
+        assert by[16384]["iters_per_sec"] >= 60, by[16384]
+        # throughput decreases monotonically in F (sanity of the curve)
+        ips = [c["iters_per_sec"] for c in sorted(art["curve"],
+                                                  key=lambda c: c["n_points"])]
+        assert all(a >= b for a, b in zip(ips, ips[1:])), ips
+
+    def test_batched_2048_mode(self):
+        art = self._art()
+        by = {c["batch"]: c for c in art["batched_2048"]}
+        assert set(by) >= {4, 8}, by
+        single = {c["n_points"]: c for c in art["curve"]}[2048]
+        # batching pairs must raise aggregate pair-throughput over B=1
+        assert by[8]["pair_iters_per_sec"] > single["iters_per_sec"], (
+            by[8], single)
+
+
+class TestTrainStepDecomposition:
+    """benchmarks/TRAIN_STEP_DECOMP.json (benchmarks/bench_train_steps.py
+    --decompose): round-3 verdict tasks 3/4 — per-op decomposition of the
+    three unsupervised training steps at reference scale (B=4, 1024 pts),
+    with the RPM ball query on the order-equivalent top_k path."""
+
+    BARS_MS = {"dcp": 40.0, "rpm": 65.0, "fmr": 40.0}  # ~1.5x measured
+
+    def _art(self):
+        path = os.path.join(BENCH, "TRAIN_STEP_DECOMP.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/bench_train_steps.py --decompose")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_all_harnesses_recorded(self):
+        art = self._art()
+        assert set(art) >= {"dcp", "rpm", "fmr"}, set(art)
+        for name, rec in art.items():
+            assert rec["batch"] == 4 and rec["n_points"] == 1024, rec
+            assert rec["ms_per_step"] <= self.BARS_MS[name], (name, rec)
+
+    def test_decomposition_attributes_the_step(self):
+        art = self._art()
+        for name, rec in art.items():
+            d = rec["decomposition"]
+            for k in ("model_fwd_ms", "lines_ms", "metric_fwd_ms",
+                      "metric_fwdbwd_ms"):
+                assert k in d and d[k] > 0, (name, k, d)
+            # pieces overlap (the step recomputes the fwd), so their sum
+            # bounds the step from above, not below; each piece alone must
+            # fit inside the step budget
+            assert d["model_fwd_ms"] <= rec["ms_per_step"] * 1.25, (name, d)
+
+    def test_rpm_group_path_recorded(self):
+        art = self._art()
+        d = art["rpm"]["decomposition"]
+        # the round-3 suspect: feature-pyramid grouping (ball query) after
+        # the top_k replacement must be a minor share of the step
+        assert d["rpm_group_fwd_ms"] <= art["rpm"]["ms_per_step"] * 0.5, d
