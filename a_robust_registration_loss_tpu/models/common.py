@@ -75,7 +75,11 @@ def weighted_kabsch(a, b, weights):
 class TorchLayerNorm(nn.Module):
     """The reference transformer's LayerNorm: a*(x-mean)/(std+eps)+b with
     *unbiased* std and eps added to std, not variance
-    (reference: dcp/model.py:158-168)."""
+    (reference: dcp/model.py:158-168).
+
+    Statistics are always computed in fp32 (a no-op for fp32 inputs); the
+    result is cast back to the input dtype, so bf16 activations stay bf16
+    through the mixed-precision path."""
 
     eps: float = 1e-6
 
@@ -84,10 +88,11 @@ class TorchLayerNorm(nn.Module):
         d = x.shape[-1]
         a = self.param("a", nn.initializers.ones, (d,))
         b = self.param("b", nn.initializers.zeros, (d,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.sum((x32 - mean) ** 2, axis=-1, keepdims=True) / (d - 1)
         std = jnp.sqrt(var)
-        return a * (x - mean) / (std + self.eps) + b
+        return (a * (x32 - mean) / (std + self.eps) + b).astype(x.dtype)
 
 
 class TorchGroupNorm(nn.Module):
@@ -98,11 +103,15 @@ class TorchGroupNorm(nn.Module):
 
     num_groups: int
     eps: float = 1e-5
+    dtype: str | None = None  # result dtype ("bfloat16" for mixed precision);
+    #                           stats are fp32 either way (flax default)
 
     @nn.compact
     def __call__(self, x):
         squeeze = x.ndim == 2
         if squeeze:
             x = x[:, None, :]
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps)(x)
+        dt = jnp.dtype(self.dtype) if self.dtype is not None else None
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                         dtype=dt)(x)
         return y[:, 0, :] if squeeze else y

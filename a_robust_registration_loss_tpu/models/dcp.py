@@ -57,17 +57,24 @@ class DCPConfig:
     ff_dims: int = 1024
     dgcnn_k: int = 20
     cycle: bool = False
+    # Mixed precision (TPU MXU): compute dtype for the embedding nets,
+    # transformer, and the head's correspondence matmul. Params stay fp32;
+    # norm statistics, softmaxes, the kNN graph selection, and all
+    # point/rotation math (SVD, Kabsch, quaternions) stay fp32. The
+    # reference is fp32-only; this is an opt-in TPU performance mode.
+    dtype: str = "float32"
 
 
 class PointNetEmb(nn.Module):
     emb_dims: int = 512
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (B, N, 3) -> (B, N, emb)
         for width, groups in [(64, 8), (64, 8), (64, 8), (128, 16),
                               (self.emb_dims, 16)]:
-            x = nn.Dense(width, use_bias=False)(x)
-            x = TorchGroupNorm(groups)(x)
+            x = nn.Dense(width, use_bias=False, dtype=self.dtype)(x)
+            x = TorchGroupNorm(groups, dtype=self.dtype)(x)
             x = nn.relu(x)
         return x
 
@@ -89,27 +96,31 @@ def knn_graph_feature(x, k: int):
 class DGCNNEmb(nn.Module):
     emb_dims: int = 512
     k: int = 20
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (B, N, 3) -> (B, N, emb)
+        # the kNN graph is selected on fp32 distances regardless of dtype
+        # (a bf16 top_k could flip near-tied neighbor sets)
         g = knn_graph_feature(x, self.k)  # (B, N, k, 6)
         outs = []
         widths = [(64, 8), (64, 8), (128, 8), (256, 16)]
         h = g
         for width, groups in widths:
-            h = nn.Dense(width, use_bias=False)(h)
-            h = TorchGroupNorm(groups)(h)
+            h = nn.Dense(width, use_bias=False, dtype=self.dtype)(h)
+            h = TorchGroupNorm(groups, dtype=self.dtype)(h)
             h = nn.relu(h)
             outs.append(jnp.max(h, axis=2))  # max over k neighbors
         cat = jnp.concatenate(outs, axis=-1)  # (B, N, 512)
-        h = nn.Dense(self.emb_dims, use_bias=False)(cat)
-        h = TorchGroupNorm(16)(h)
+        h = nn.Dense(self.emb_dims, use_bias=False, dtype=self.dtype)(cat)
+        h = TorchGroupNorm(16, dtype=self.dtype)(h)
         return nn.relu(h)
 
 
 class MultiHeadAttention(nn.Module):
     n_heads: int
     d_model: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -118,7 +129,7 @@ class MultiHeadAttention(nn.Module):
         Nk = k.shape[1]
 
         def proj(x, name, n):
-            y = nn.Dense(self.d_model, name=name)(x)
+            y = nn.Dense(self.d_model, name=name, dtype=self.dtype)(x)
             return y.reshape(B, n, self.n_heads, d_k).transpose(0, 2, 1, 3)
 
         q = proj(q, "wq", Nq)
@@ -127,19 +138,23 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.matmul(q, jnp.swapaxes(k, -1, -2)) / jnp.sqrt(
             jnp.asarray(d_k, q.dtype)
         )
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.matmul(attn, v)
+        # softmax in fp32 (standard mixed-precision practice), weights back
+        # in the compute dtype for the attn @ v contraction
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.matmul(attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
-        return nn.Dense(self.d_model, name="wo")(out)
+        return nn.Dense(self.d_model, name="wo", dtype=self.dtype)(out)
 
 
 class FeedForward(nn.Module):
     d_model: int
     d_ff: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(x)))
+        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype)(x))
+        return nn.Dense(self.d_model, dtype=self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):
@@ -147,10 +162,12 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims,
+                                   dtype=self.cfg.dtype)(
             *(lambda y: (y, y, y))(TorchLayerNorm()(x))
         )
-        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims)(TorchLayerNorm()(x))
+        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims,
+                               dtype=self.cfg.dtype)(TorchLayerNorm()(x))
 
 
 class DecoderLayer(nn.Module):
@@ -159,10 +176,13 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, memory):
         y = TorchLayerNorm()(x)
-        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(y, y, y)
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims,
+                                   dtype=self.cfg.dtype)(y, y, y)
         y = TorchLayerNorm()(x)
-        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims)(y, memory, memory)
-        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims)(TorchLayerNorm()(x))
+        x = x + MultiHeadAttention(self.cfg.n_heads, self.cfg.emb_dims,
+                                   dtype=self.cfg.dtype)(y, memory, memory)
+        return x + FeedForward(self.cfg.emb_dims, self.cfg.ff_dims,
+                               dtype=self.cfg.dtype)(TorchLayerNorm()(x))
 
 
 class TransformerPointer(nn.Module):
@@ -204,10 +224,13 @@ class SVDHead(nn.Module):
     def __call__(self, src_emb, tgt_emb, src, tgt):
         # src_emb/tgt_emb: (B, N, d); src/tgt: (B, N, 3)
         d_k = src_emb.shape[-1]
+        # the (N, N) x d correspondence contraction runs in the embeddings'
+        # compute dtype (bf16 under mixed precision -> MXU); the softmax and
+        # everything touching points/rotations below is fp32
         scores = jnp.matmul(src_emb, jnp.swapaxes(tgt_emb, -1, -2)) / jnp.sqrt(
             jnp.asarray(d_k, src_emb.dtype)
         )
-        scores = jax.nn.softmax(scores, axis=2)  # over tgt points
+        scores = jax.nn.softmax(scores.astype(jnp.float32), axis=2)  # over tgt
         src_corr = jnp.matmul(scores, tgt, precision=_HI)  # (B, N, 3)
         src_c = src - src.mean(axis=1, keepdims=True)
         corr_c = src_corr - src_corr.mean(axis=1, keepdims=True)
@@ -229,9 +252,10 @@ class MLPHead(nn.Module):
         e = jnp.max(e, axis=1)  # (B, 2d)
         d = self.cfg.emb_dims
         for width in [d // 2, d // 4, d // 8]:
-            e = nn.Dense(width)(e)
-            e = TorchGroupNorm(8)(e)
+            e = nn.Dense(width, dtype=self.cfg.dtype)(e)
+            e = TorchGroupNorm(8, dtype=self.cfg.dtype)(e)
             e = nn.relu(e)
+        e = e.astype(jnp.float32)  # quaternion/translation heads in fp32
         quat = nn.Dense(4)(e)
         quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
         t = nn.Dense(3)(e)
@@ -245,9 +269,10 @@ class DCP(nn.Module):
 
     def setup(self):
         if self.cfg.emb_nn == "pointnet":
-            self.emb_nn = PointNetEmb(self.cfg.emb_dims)
+            self.emb_nn = PointNetEmb(self.cfg.emb_dims, dtype=self.cfg.dtype)
         else:
-            self.emb_nn = DGCNNEmb(self.cfg.emb_dims, self.cfg.dgcnn_k)
+            self.emb_nn = DGCNNEmb(self.cfg.emb_dims, self.cfg.dgcnn_k,
+                                   dtype=self.cfg.dtype)
         if self.cfg.pointer == "transformer":
             self.pointer = TransformerPointer(self.cfg)
         else:

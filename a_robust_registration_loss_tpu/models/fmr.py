@@ -50,33 +50,42 @@ class FMRConfig:
     maxiter: int = 5         # train default (eval uses 10, fmr/model.py:758)
     xtol: float = 1.0e-7
     use_decoder: bool = True
+    # Mixed precision (TPU MXU): compute dtype for the encoder/decoder MLPs.
+    # Params stay fp32; pooled features, the IC solver (Jacobian, pinv,
+    # exp/log) and the AE chamfer stay fp32. The reference is fp32-only;
+    # this is an opt-in TPU performance mode.
+    dtype: str = "float32"
 
 
 class PointNetEncoder(nn.Module):
     dim_k: int = 1024
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, points):  # (B, N, 3) -> (B, K)
         x = points
         for width in [64, 64, 64, 128, self.dim_k]:
-            x = nn.Dense(width)(x)
-            x = TorchGroupNorm(8)(x)
+            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = TorchGroupNorm(8, dtype=self.dtype)(x)
             x = nn.relu(x)
-        return jnp.max(x, axis=1)
+        # pooled features in fp32: they feed the IC Jacobian / residuals
+        return jnp.max(x, axis=1).astype(jnp.float32)
 
 
 class Decoder(nn.Module):
     num_points: int = 2048
     bottleneck: int = 1024
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (B, K) -> (B, num_points, 3)
         for width, g in [(self.bottleneck, 8), (self.bottleneck // 2, 8),
                          (self.bottleneck // 4, 8)]:
-            x = nn.Dense(width)(x)
-            x = TorchGroupNorm(g)(x)
+            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = TorchGroupNorm(g, dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = jnp.tanh(nn.Dense(self.num_points * 3)(x)) * 10.0
+        x = nn.Dense(self.num_points * 3, dtype=self.dtype)(x)
+        x = jnp.tanh(x.astype(jnp.float32)) * 10.0  # points back in fp32
         # reference reshapes (B, 3, N) then transposes (fmr/model.py:153)
         return x.reshape(-1, 3, self.num_points).transpose(0, 2, 1)
 
@@ -96,9 +105,10 @@ class SolveRegistration(nn.Module):
     cfg: FMRConfig = FMRConfig()
 
     def setup(self):
-        self.encoder = PointNetEncoder(self.cfg.dim_k)
-        self.decoder = Decoder(self.cfg.num_points, self.cfg.dim_k) \
-            if self.cfg.use_decoder else None
+        self.encoder = PointNetEncoder(self.cfg.dim_k, dtype=self.cfg.dtype)
+        self.decoder = (Decoder(self.cfg.num_points, self.cfg.dim_k,
+                                dtype=self.cfg.dtype)
+                        if self.cfg.use_decoder else None)
         # learnable finite-difference step (fmr/model.py:170-173)
         self.dt = self.param("dt", lambda key: jnp.full((1, 6), 1.0e-2))
 

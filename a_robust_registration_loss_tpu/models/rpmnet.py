@@ -46,6 +46,11 @@ class RPMNetConfig:
     add_slack: bool = True
     anneal: str = "net"  # "net" | "constant": the reference's ablation swap
     #                      (feature_nets.py:91-115, rpm/models/rpmnet.py:11)
+    # Mixed precision (TPU MXU): compute dtype for the feature nets and the
+    # annealing PointNet. Params stay fp32; the ball query / PPF geometry,
+    # the L2 feature normalization, sinkhorn, and Kabsch stay fp32. The
+    # reference is fp32-only; this is an opt-in TPU performance mode.
+    dtype: str = "float32"
 
 
 def angle(v1, v2):
@@ -95,23 +100,25 @@ _RAW_ORDER = {"xyz": 0, "dxyz": 1, "ppf": 2}
 class ParameterPredictionNet(nn.Module):
     """Annealing-parameter PointNet (reference: feature_nets.py:15-88)."""
 
+    dtype: str = "float32"
+
     @nn.compact
     def __call__(self, src, ref):  # (B, J, 3), (B, K, 3)
         src_p = jnp.pad(src, ((0, 0), (0, 0), (0, 1)), constant_values=0.0)
         ref_p = jnp.pad(ref, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
         x = jnp.concatenate([src_p, ref_p], axis=1)  # (B, J+K, 4)
         for width, groups in [(64, 8), (64, 8), (64, 8), (128, 8), (1024, 16)]:
-            x = nn.Dense(width)(x)
-            x = TorchGroupNorm(groups)(x)
+            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = TorchGroupNorm(groups, dtype=self.dtype)(x)
             x = nn.relu(x)
         pooled = jnp.max(x, axis=1)  # (B, 1024)
-        y = nn.Dense(512)(pooled)
-        y = TorchGroupNorm(16)(y)
+        y = nn.Dense(512, dtype=self.dtype)(pooled)
+        y = TorchGroupNorm(16, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Dense(256)(y)
-        y = TorchGroupNorm(16)(y)
+        y = nn.Dense(256, dtype=self.dtype)(y)
+        y = TorchGroupNorm(16, dtype=self.dtype)(y)
         y = nn.relu(y)
-        raw = nn.Dense(2)(y)
+        raw = nn.Dense(2)(y.astype(jnp.float32))  # beta/alpha head in fp32
         beta = jax.nn.softplus(raw[:, 0])
         alpha = jax.nn.softplus(raw[:, 1])
         return beta, alpha
@@ -146,19 +153,21 @@ class FeatExtractionEarlyFusion(nn.Module):
         x = jnp.concatenate(concat, axis=-1)  # (B, N, ns, raw)
 
         out = cfg.feat_dim * 2
+        dt = cfg.dtype
         for width in [out // 2, out // 2, out]:  # prepool (feature_nets.py:118-131)
-            x = nn.Dense(width)(x)
-            x = TorchGroupNorm(8)(x)
+            x = nn.Dense(width, dtype=dt)(x)
+            x = TorchGroupNorm(8, dtype=dt)(x)
             x = nn.relu(x)
         x = jnp.max(x, axis=2)  # pool over cluster -> (B, N, out)
         # postpool (feature_nets.py:134-152): conv-GN-relu, conv-GN-relu, conv
-        x2 = nn.Dense(out)(x)
-        x2 = TorchGroupNorm(8)(x2)
+        x2 = nn.Dense(out, dtype=dt)(x)
+        x2 = TorchGroupNorm(8, dtype=dt)(x2)
         x2 = nn.relu(x2)
-        x2 = nn.Dense(cfg.feat_dim)(x2)
-        x2 = TorchGroupNorm(8)(x2)
+        x2 = nn.Dense(cfg.feat_dim, dtype=dt)(x2)
+        x2 = TorchGroupNorm(8, dtype=dt)(x2)
         x2 = nn.relu(x2)
-        x2 = nn.Dense(cfg.feat_dim)(x2)
+        x2 = nn.Dense(cfg.feat_dim, dtype=dt)(x2)
+        x2 = x2.astype(jnp.float32)  # normalize + match in fp32
         return x2 / jnp.linalg.norm(x2, axis=-1, keepdims=True)
 
 
@@ -221,7 +230,7 @@ class RPMNetEarlyFusion(nn.Module):
     def setup(self):
         self.weights_net = (ParameterPredictionNetConstant()
                             if self.cfg.anneal == "constant"
-                            else ParameterPredictionNet())
+                            else ParameterPredictionNet(dtype=self.cfg.dtype))
         self.feat_extractor = FeatExtractionEarlyFusion(self.cfg)
 
     def __call__(self, xyz_src, norm_src, xyz_ref, norm_ref, num_iter: int = 2):

@@ -335,6 +335,11 @@ def main(argv=None):
                     help="a reference DCP .pth checkpoint to transplant as "
                          "the initialization (the reference fine-tunes from "
                          "a supervised-pretrained net, Train_DCP.py:890-893)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (bfloat16 = TPU mixed "
+                         "precision; params, norms, SVD, and the metric "
+                         "stay fp32)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -389,7 +394,8 @@ def main(argv=None):
         model=DCPConfig(emb_nn=args.emb_nn, pointer=args.pointer,
                         head=args.head, emb_dims=args.emb_dims,
                         n_blocks=args.n_blocks, n_heads=args.n_heads,
-                        ff_dims=args.ff_dims, cycle=args.cycle),
+                        ff_dims=args.ff_dims, cycle=args.cycle,
+                        dtype=args.dtype),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )

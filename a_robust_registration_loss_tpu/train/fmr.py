@@ -236,6 +236,11 @@ def main(argv=None):
     ap.add_argument("--dim_k", type=int, default=1024)
     ap.add_argument("--train_maxiter", type=int, default=5)
     ap.add_argument("--eval_maxiter", type=int, default=10)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (bfloat16 = TPU mixed "
+                         "precision; params, norms, the IC solver, and the "
+                         "metric stay fp32)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -309,7 +314,8 @@ def main(argv=None):
         train_maxiter=args.train_maxiter, eval_maxiter=args.eval_maxiter,
         loss=L.LossConfig(n_lines=args.n_lines, backend=args.backend,
                           mesh=mesh),
-        model=FMRConfig(dim_k=args.dim_k, num_points=n_pts),
+        model=FMRConfig(dim_k=args.dim_k, num_points=n_pts,
+                        dtype=args.dtype),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )

@@ -379,6 +379,11 @@ def main(argv=None):
     ap.add_argument("--partial", type=float, default=None,
                     help="crop keep-ratio (requires --noise_type crop; "
                          "crop default 0.7)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (bfloat16 = TPU mixed "
+                         "precision; params, norms, sinkhorn, Kabsch, and "
+                         "the metric stay fp32)")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="auto = pallas on TPU, xla elsewhere")
@@ -447,7 +452,8 @@ def main(argv=None):
             features=tuple(args.features.split(",")),
             feat_dim=args.feat_dim, radius=args.radius,
             num_neighbors=args.num_neighbors, num_sk_iter=args.num_sk_iter,
-            add_slack=not args.no_slack, anneal=args.anneal),
+            add_slack=not args.no_slack, anneal=args.anneal,
+            dtype=args.dtype),
         fit=harness.FitConfig(epochs=args.epochs, exp_dir=args.exp_dir,
                               seed=args.seed, artifacts_every=10),
     )

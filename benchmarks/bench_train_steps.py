@@ -149,6 +149,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--n_points", type=int, default=1024)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (bfloat16 = mixed precision)")
     ap.add_argument("--decompose", action="store_true",
                     help="also time the step's pieces (model fwd, line "
                          "resample, metric fwd / fwd+bwd) independently "
@@ -178,7 +181,7 @@ def main():
             cfg = TD.DCPTrainConfig(
                 loss=L.LossConfig(n_lines=15000, backend=args.backend,
                                   line_chunk=None),
-                model=DCPConfig(emb_nn=args.dcp_emb),
+                model=DCPConfig(emb_nn=args.dcp_emb, dtype=args.dtype),
             )
             model, opt, step, _, _, _ = TD.make_steps(cfg)
             params = TD.init_params(model, jax.random.PRNGKey(0), batch)
@@ -192,6 +195,7 @@ def main():
             cfg = TR.RPMTrainConfig(
                 loss=L.LossConfig(n_lines=10000, backend=args.backend,
                                   line_chunk=None),
+                model=RPMNetConfig(dtype=args.dtype),
             )
             model, opt, step, _, _, _ = TR.make_steps(cfg)
             params = TR.init_params(model, jax.random.PRNGKey(0), batch)
@@ -203,7 +207,8 @@ def main():
             cfg = TF.FMRTrainConfig(
                 loss=L.LossConfig(n_lines=15000, backend=args.backend,
                                   line_chunk=None),
-                model=FMRConfig(num_points=args.n_points),
+                model=FMRConfig(num_points=args.n_points,
+                                dtype=args.dtype),
             )
             model, opt, step, _, _ = TF.make_steps(cfg)
             params = TF.init_params(model, jax.random.PRNGKey(0), batch)
@@ -217,7 +222,7 @@ def main():
         rec = {
             "harness": name, "ms_per_step": round(ms, 2),
             "batch": args.batch, "n_points": args.n_points,
-            "backend": args.backend, **extra,
+            "backend": args.backend, "dtype": args.dtype, **extra,
         }
         if args.decompose:
             rec["decomposition"] = decompose(name, cfg, model, params, batch,

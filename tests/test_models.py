@@ -185,3 +185,122 @@ class TestCommon:
         H = jnp.asarray(rng.standard_normal((8, 3, 3)).astype(np.float32))
         R = common.svd_orientation(H)
         np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-5)
+
+
+class TestMixedPrecision:
+    """The opt-in bfloat16 compute mode (configs' dtype field, trainers'
+    --dtype): params stay fp32 (identical trees either way — same init, same
+    checkpoints, same transplant), rotation/translation outputs come back
+    fp32, and bf16 forwards track the fp32 forwards to bf16 tolerance.
+    The reference has no comparable mode (fp32-only torch)."""
+
+    def _assert_fp32_params(self, params):
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree_util.tree_leaves(params))
+
+    def test_dcp_bf16_tracks_fp32(self, rng):
+        src, _ = _clouds(rng, n=64)
+        tgt, _ = _clouds(rng, n=64)
+        kw = dict(emb_nn="dgcnn", dgcnn_k=8, emb_dims=64, ff_dims=64,
+                  n_heads=4)
+        m32 = DCP(DCPConfig(**kw))
+        mbf = DCP(DCPConfig(dtype="bfloat16", **kw))
+        params = m32.init(jax.random.PRNGKey(0), src, tgt)
+        self._assert_fp32_params(params)
+        R32, t32, _, _ = m32.apply(params, src, tgt)
+        Rbf, tbf, _, _ = jax.jit(mbf.apply)(params, src, tgt)
+        assert Rbf.dtype == jnp.float32 and tbf.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(Rbf), np.asarray(R32), atol=0.05)
+        np.testing.assert_allclose(np.asarray(tbf), np.asarray(t32), atol=0.05)
+        np.testing.assert_allclose(np.linalg.det(np.asarray(Rbf)), 1.0,
+                                   atol=1e-3)
+
+    @pytest.mark.slow
+    def test_dcp_mlp_head_bf16(self, rng):
+        src, _ = _clouds(rng, n=64)
+        tgt, _ = _clouds(rng, n=64)
+        kw = dict(emb_nn="pointnet", head="mlp", emb_dims=64, ff_dims=64)
+        m32 = DCP(DCPConfig(**kw))
+        mbf = DCP(DCPConfig(dtype="bfloat16", **kw))
+        params = m32.init(jax.random.PRNGKey(0), src, tgt)
+        R32, t32, _, _ = m32.apply(params, src, tgt)
+        Rbf, tbf, _, _ = mbf.apply(params, src, tgt)
+        assert Rbf.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(Rbf), np.asarray(R32), atol=0.08)
+
+    def test_rpmnet_bf16_tracks_fp32(self, rng):
+        src, nsrc = _clouds(rng, n=64)
+        ref, nref = _clouds(rng, n=64)
+        m32 = RPMNetEarlyFusion(RPMNetConfig(num_neighbors=16))
+        mbf = RPMNetEarlyFusion(RPMNetConfig(num_neighbors=16,
+                                             dtype="bfloat16"))
+        params = m32.init(jax.random.PRNGKey(0), src, nsrc, ref, nref)
+        self._assert_fp32_params(params)
+        t32, _ = m32.apply(params, src, nsrc, ref, nref, num_iter=2)
+        tbf, _ = mbf.apply(params, src, nsrc, ref, nref, num_iter=2)
+        assert tbf[-1].dtype == jnp.float32
+        # transforms track loosely (sinkhorn sharpens small feature diffs)
+        np.testing.assert_allclose(np.asarray(tbf[-1]), np.asarray(t32[-1]),
+                                   atol=0.12)
+        R = np.asarray(tbf[-1][..., :3, :3])
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-3)
+
+    def test_fmr_bf16_tracks_fp32(self, rng):
+        src, _ = _clouds(rng, n=64)
+        tgt, _ = _clouds(rng, n=64)
+        kw = dict(dim_k=64, num_points=64)
+        m32 = SolveRegistration(FMRConfig(**kw))
+        mbf = SolveRegistration(FMRConfig(dtype="bfloat16", **kw))
+        params = m32.init(jax.random.PRNGKey(0), tgt, src)
+        self._assert_fp32_params(params)
+        o32 = m32.apply(params, tgt, src, maxiter=3)
+        obf = mbf.apply(params, tgt, src, maxiter=3)
+        assert obf["g"].dtype == jnp.float32
+        # the IC loop amplifies encoder rounding (pinv + 3 compounding
+        # updates on random params), so the transform bar is loose; the
+        # trained-convergence evidence is benchmarks/MIXED_PRECISION.json
+        np.testing.assert_allclose(np.asarray(obf["g"]), np.asarray(o32["g"]),
+                                   atol=0.25)
+        np.testing.assert_allclose(float(obf["loss_ende"]),
+                                   float(o32["loss_ende"]), rtol=0.1)
+
+    @pytest.mark.slow
+    def test_dcp_bf16_train_step_runs(self, rng):
+        """A bf16 DCP train step through the real harness loss produces
+        finite fp32 grads and an updated fp32 param tree."""
+        from a_robust_registration_loss_tpu.train import dcp as TD
+        from a_robust_registration_loss_tpu.train import losses as L
+
+        B, N = 2, 64
+        src = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        from a_robust_registration_loss_tpu.ops import geometry as G
+
+        batch = {
+            "points_src_sample": src, "points_tar_sample": tgt,
+            "points_based_neighs_src": jnp.stack(
+                [G.sample_neighs(s, N, 3) for s in src]),
+            "points_based_neighs_tar": jnp.stack(
+                [G.sample_neighs(t, N, 3) for t in tgt]),
+            "tar_box": jnp.concatenate(
+                [tgt.min(1, keepdims=True), tgt.max(1, keepdims=True),
+                 jnp.zeros((B, 6, 3))], axis=1),
+            "centers": jnp.zeros((B, 3)),
+            "R": jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+            "T": jnp.zeros((B, 3)),
+        }
+        from a_robust_registration_loss_tpu.models.dcp import (
+            DCPConfig as DC,
+        )
+
+        cfg = TD.DCPTrainConfig(
+            loss=L.LossConfig(n_lines=256, backend="xla"),
+            model=DC(emb_nn="dgcnn", dgcnn_k=8, emb_dims=64, ff_dims=64,
+                     dtype="bfloat16"))
+        model, opt, train_step, _, _, _ = TD.make_steps(cfg)
+        params = TD.init_params(model, jax.random.PRNGKey(0), batch)
+        new_params, _, metrics = jax.jit(train_step)(
+            params, opt.init(params), batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree_util.tree_leaves(new_params))

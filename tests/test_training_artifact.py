@@ -377,3 +377,34 @@ class TestTrainStepDecomposition:
         # the round-3 suspect: feature-pyramid grouping (ball query) after
         # the top_k replacement must be a minor share of the step
         assert d["rpm_group_fwd_ms"] <= art["rpm"]["ms_per_step"] * 0.5, d
+
+
+class TestMixedPrecisionArtifact:
+    """benchmarks/MIXED_PRECISION.json (benchmarks/mixed_precision.py):
+    the opt-in bf16 mode must actually be faster where the MXU matmuls
+    are, and the from-the-same-init convergence runs must track."""
+
+    def _art(self):
+        path = os.path.join(BENCH, "MIXED_PRECISION.json")
+        if not os.path.exists(path):
+            pytest.skip("run benchmarks/mixed_precision.py")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_speedups(self):
+        art = self._art()
+        steps = art["steps"]
+        assert steps["dcp"]["speedup_x"] >= 1.1, steps["dcp"]
+        assert steps["rpm"]["speedup_x"] >= 1.1, steps["rpm"]
+        # FMR is metric-bound; bf16 must at least not regress it
+        assert steps["fmr"]["speedup_x"] >= 0.95, steps["fmr"]
+
+    def test_convergence_tracks(self):
+        art = self._art()
+        conv = art["convergence"]["dcp"]
+        # same init, same data order: final train loss within 15% and both
+        # runs actually went downhill
+        assert conv["final_train_rel_diff"] <= 0.15, conv
+        for dt in ("float32", "bfloat16"):
+            rec = conv[dt]
+            assert rec["train_loss_last5_mean"] < rec["train_loss_first"], rec
