@@ -149,6 +149,11 @@ def cli(argv=None):
     _args = parser.parse_args(argv)
     import jax
 
+    from a_robust_registration_loss_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     if _args.platform:
         jax.config.update("jax_platforms", _args.platform)
     if _args.backend == "auto":

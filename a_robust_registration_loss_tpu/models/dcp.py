@@ -147,14 +147,26 @@ class MultiHeadAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
+    """Position-wise FFN (dcp/model.py:222-231).
+
+    Param names are PINNED explicitly: ``Dense_0`` is the OUTER d_model
+    projection (torch ``w_2``) and ``Dense_1`` the inner d_ff expansion
+    (torch ``w_1``) — the historical flax auto-names from the original
+    one-liner ``Dense(d_model)(relu(Dense(d_ff)(x)))``, which constructed
+    the outer layer first. transplant._ffn and every saved DCP checkpoint
+    map by these names; pinning them makes the mapping independent of
+    construction order (a round-4 refactor silently flipped the
+    auto-names and broke both — don't rely on auto-naming here).
+    """
+
     d_model: int
     d_ff: int
     dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype)(x))
-        return nn.Dense(self.d_model, dtype=self.dtype)(h)
+        h = nn.relu(nn.Dense(self.d_ff, name="Dense_1", dtype=self.dtype)(x))
+        return nn.Dense(self.d_model, name="Dense_0", dtype=self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):

@@ -150,7 +150,22 @@ class SolveRegistration(nn.Module):
         J = self._approx_jac(q0, f0, dt)  # (B, K, 6)
         Jt = jnp.swapaxes(J, 1, 2)
         H = jnp.matmul(Jt, J, precision=_HI)  # (B, 6, 6)
-        pinv = jnp.matmul(jnp.linalg.inv(H), Jt, precision=_HI)  # (B, 6, K)
+        # Singular-JtJ guard (fmr/model.py:375-380): the reference wraps
+        # torch.inverse in try/except and bails out with the residual when
+        # JtJ is singular (e.g. a degenerate/collinear cloud). No exceptions
+        # under jit — instead detect per-sample non-finite or severely
+        # ill-conditioned inverses, zero that sample's pinv (so dx = 0 and g
+        # stays identity; the identity-frame residual is still returned,
+        # matching the reference's bail), and count them in `n_singular`.
+        Hinv = jnp.linalg.inv(H)
+        sv = jnp.linalg.svd(H, compute_uv=False)  # (B, 6), descending
+        cond = sv[:, 0] / jnp.maximum(sv[:, -1], jnp.finfo(sv.dtype).tiny)
+        ok = (jnp.all(jnp.isfinite(H), axis=(1, 2))
+              & jnp.all(jnp.isfinite(Hinv), axis=(1, 2))
+              & (cond < 1e8))
+        n_singular = jnp.sum(~ok)
+        Hinv = jnp.where(ok[:, None, None], Hinv, 0.0)
+        pinv = jnp.matmul(Hinv, Jt, precision=_HI)  # (B, 6, K)
 
         # IC iterations: fixed-length loop with freeze-on-converge mask
         g = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
@@ -175,4 +190,5 @@ class SolveRegistration(nn.Module):
 
         g_out = unnorm(g)
         g_series = jnp.stack([unnorm(gg) for gg in g_series])  # (maxiter, B, 4, 4)
-        return dict(g=g_out, g_series=g_series, r=r, loss_ende=loss_ende)
+        return dict(g=g_out, g_series=g_series, r=r, loss_ende=loss_ende,
+                    n_singular=n_singular)

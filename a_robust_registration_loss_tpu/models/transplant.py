@@ -52,7 +52,8 @@ def _mha(sd, key):
 
 
 def _ffn(sd, key):
-    # Dense_0 == w_2 (outer), Dense_1 == w_1 (inner) — see module docstring
+    # Dense_0 == w_2 (outer), Dense_1 == w_1 (inner) — names pinned
+    # explicitly in models.dcp.FeedForward, independent of construction order
     return {"Dense_0": _dense(sd, f"{key}.w_2"),
             "Dense_1": _dense(sd, f"{key}.w_1")}
 

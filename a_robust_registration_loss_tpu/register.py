@@ -34,6 +34,11 @@ def _read_cloud(path):
 
 
 def main(argv=None):
+    from a_robust_registration_loss_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("src", help=".obj or .ply source cloud")
     ap.add_argument("tar", help=".obj or .ply target cloud")

@@ -294,6 +294,11 @@ def evaluate(cfg: DCPTrainConfig, params, test_loader, out_dir: str,
 
 def main(argv=None):
     from a_robust_registration_loss_tpu.data import dataset as DS
+    from a_robust_registration_loss_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_path", required=True)

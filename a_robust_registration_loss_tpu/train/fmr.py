@@ -75,6 +75,8 @@ def make_steps(cfg: FMRTrainConfig):
             parts, loss=loss, loss_gt=loss_g,
             loss_rot_euler_mae=mae, loss_rot_euler_rmse=rmse,
             nonfinite_steps=nonfinite,
+            # samples whose singular JtJ froze the IC solve (models/fmr.py)
+            n_singular=jnp.asarray(out["n_singular"], jnp.float32),
         )
 
     def eval_step(params, batch, key):
@@ -96,6 +98,7 @@ def make_steps(cfg: FMRTrainConfig):
             dm=dm,
             loss_rot_euler_mae=mae,
             loss_rot_euler_rmse=rmse,
+            n_singular=jnp.asarray(out["n_singular"], jnp.float32),
         )
 
     def artifact_fn(params, batch, key):
@@ -221,6 +224,11 @@ def evaluate(cfg: FMRTrainConfig, params, test_loader, out_dir: str,
 
 def main(argv=None):
     from a_robust_registration_loss_tpu.data import dataset as DS
+    from a_robust_registration_loss_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_path", required=True)

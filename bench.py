@@ -241,6 +241,26 @@ def roofline(data, n_lines: int):
 
 
 def main():
+    # Recording gate (round-4 verdict task 2): a headline benchmark implies
+    # the reference-parity slow tier was green against THIS source. Refuse to
+    # emit one when the committed stamp is stale, so a round can't ship a
+    # recorded number on top of a red/unproven tree. ARRL_ALLOW_STALE=1
+    # overrides for local experimentation only.
+    from a_robust_registration_loss_tpu.utils.freshness import stamp_status
+
+    status = stamp_status()
+    if not status["fresh"] and os.environ.get("ARRL_ALLOW_STALE") != "1":
+        print(json.dumps({
+            "metric": "registration_iters_per_sec_2048pts",
+            "value": None, "unit": "iters/sec", "vs_baseline": None,
+            "error": "slow-tier stamp stale — refusing to record: "
+                     + status["reason"]
+                     + "; run `python -m pytest tests/ --runslow` green and "
+                       "commit tests/.slow_tier_stamp.json",
+            "stamp_time": status["stamp_time"],
+        }))
+        raise SystemExit(1)
+
     import jax
 
     # persistent compile cache: the gate + headline compile ~8 programs over

@@ -56,33 +56,12 @@ def pytest_collection_modifyitems(config, items):
 
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 REPO_ROOT = os.path.dirname(TESTS_DIR)
-SLOW_STAMP = os.path.join(TESTS_DIR, ".slow_tier_stamp.json")
 
-
-def source_fingerprint():
-    """Content hash over everything whose change can invalidate the slow
-    tier's golden-parity evidence: the package source (py/cpp) plus the
-    root entry/bench files."""
-    import hashlib
-
-    h = hashlib.sha256()
-    files = []
-    pkg = os.path.join(REPO_ROOT, "a_robust_registration_loss_tpu")
-    for base, dirs, names in os.walk(pkg):
-        dirs[:] = [d for d in dirs if d != "__pycache__"]
-        for n in names:
-            if n.endswith((".py", ".cpp", ".cc", ".h")):
-                files.append(os.path.join(base, n))
-    for extra in ("bench.py", "__graft_entry__.py", "demo.py"):
-        p = os.path.join(REPO_ROOT, extra)
-        if os.path.exists(p):
-            files.append(p)
-    for p in sorted(files):
-        h.update(os.path.relpath(p, REPO_ROOT).encode() + b"\0")
-        with open(p, "rb") as f:
-            h.update(f.read())
-        h.update(b"\0")
-    return h.hexdigest()
+# single definition of the fingerprint, shared with bench.py's recording gate
+from a_robust_registration_loss_tpu.utils.freshness import (  # noqa: E402
+    SLOW_STAMP,
+    source_fingerprint,
+)
 
 
 def pytest_sessionfinish(session, exitstatus):

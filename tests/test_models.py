@@ -46,6 +46,28 @@ class TestDCP:
         RtR = np.asarray(R_ba) @ np.asarray(R)
         np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-5)
 
+    def test_ffn_param_names_pinned(self, rng):
+        """Checkpoint/transplant name contract: FeedForward's Dense_0 is the
+        OUTER d_model projection (torch w_2) and Dense_1 the inner d_ff
+        expansion (torch w_1). A round-4 refactor silently flipped the flax
+        auto-names, breaking --init_from_torch and restore of every earlier
+        DCP checkpoint; the names are now pinned explicitly in models/dcp.py
+        and this test fails the default tier if they ever move again."""
+        src, _ = _clouds(rng, n=16)
+        tgt, _ = _clouds(rng, n=16)
+        cfg = DCPConfig(emb_nn="pointnet", emb_dims=32, ff_dims=64)
+        m = DCP(cfg)
+        params = m.init(jax.random.PRNGKey(0), src, tgt)["params"]
+        ffn = params["pointer"]["enc0"]["FeedForward_0"]
+        assert set(ffn) == {"Dense_0", "Dense_1"}
+        # outer: d_ff -> d_model; inner: d_model -> d_ff
+        assert ffn["Dense_0"]["kernel"].shape == (64, 32)
+        assert ffn["Dense_1"]["kernel"].shape == (32, 64)
+        # a pre-refactor checkpoint tree (same names/shapes) restores and runs
+        old_tree = jax.tree.map(lambda x: jnp.zeros_like(x), params)
+        R, t, _, _ = m.apply({"params": old_tree}, src, tgt)
+        assert R.shape == (2, 3, 3) and np.all(np.isfinite(np.asarray(R)))
+
     @pytest.mark.slow
     def test_grad(self, rng):
         src, _ = _clouds(rng, n=64)
@@ -147,6 +169,30 @@ class TestFMR:
         params = m.init(jax.random.PRNGKey(0), tgt, tgt)
         out = m.apply(params, tgt, tgt)
         assert float(out["loss_ende"]) > 0
+
+    def test_singular_jtj_guard(self, rng):
+        """Degenerate (collinear) cloud -> singular JtJ. The reference bails
+        out of the solve via try/except (fmr/model.py:375-380); our jitted
+        solver freezes the bad sample's IC update and counts it in
+        n_singular, keeping every output finite. The healthy sample in the
+        same batch must still solve normally (per-sample guard)."""
+        good, _ = _clouds(rng, b=1, n=64)
+        degen = jnp.zeros((1, 64, 3), jnp.float32)  # all points coincident
+        tgt = jnp.concatenate([good, degen], axis=0)
+        src = tgt + 0.01
+        cfg = FMRConfig(dim_k=64, num_points=64, maxiter=3)
+        m = SolveRegistration(cfg)
+        params = m.init(jax.random.PRNGKey(0), tgt, src)
+        out = jax.jit(m.apply)(params, tgt, src)
+        for k in ("g", "g_series", "r"):
+            assert np.all(np.isfinite(np.asarray(out[k]))), k
+        assert int(out["n_singular"]) == 1  # only the degenerate sample
+        np.testing.assert_allclose(
+            np.asarray(out["g"][:, 3]), [[0, 0, 0, 1]] * 2, atol=1e-6)
+        # bail behavior: the frozen sample's g reduces to the centroid
+        # un-normalization (identity in the normalized frame)
+        np.testing.assert_allclose(np.asarray(out["g"][1, :3, :3]),
+                                   np.eye(3), atol=1e-6)
 
 
 class TestCommon:
