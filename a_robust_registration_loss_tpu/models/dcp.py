@@ -62,6 +62,11 @@ class DCPConfig:
     # norm statistics, softmaxes, the kNN graph selection, and all
     # point/rotation math (SVD, Kabsch, quaternions) stay fp32. The
     # reference is fp32-only; this is an opt-in TPU performance mode.
+    # Depth caveat: under bf16 the transformer residual stream accumulates
+    # in bf16 (TorchLayerNorm casts back to x.dtype), so residual rounding
+    # compounds with n_blocks — immaterial at the default n_blocks=1 (the
+    # measured configs), keep fp32 or revisit the residual dtype for much
+    # deeper pointers.
     dtype: str = "float32"
 
 

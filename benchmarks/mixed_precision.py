@@ -156,41 +156,58 @@ def main():
         results["steps"][name] = rec
         print(json.dumps({"harness": name, **rec}), flush=True)
 
-    # --- convergence sanity: DCP from the same init, fp32 vs bf16 ---------
-    conv = {}
-    for dt in ["float32", "bfloat16"]:
-        exp_dir = os.path.join(args.exp_root, f"dcp_{dt}")
-        shutil.rmtree(exp_dir, ignore_errors=True)
-        fit = H.FitConfig(epochs=args.conv_epochs, exp_dir=exp_dir,
-                          seed=1234, save_every=0, artifacts_every=0,
-                          log_tensorboard=False, resume=False)
-        cfg, TD, extra = _harness("dcp", dt, args.backend, fit)
-        train_loader, test_loader = DS.generate_datasets(
-            DS.DatasetConfig(**extra, **mk))
-        t0 = time.time()
-        TD.train(cfg, train_loader, test_loader, log=lambda *a: None)
-        losses = tag_series(exp_dir, "train/loss")
-        evals = tag_series(exp_dir, "test/loss")
-        rmse = tag_series(exp_dir, "test/loss_rot_euler_rmse")
-        last5 = float(np.mean(losses[-5:]))
-        conv[dt] = {
-            "wall_s": round(time.time() - t0, 1),
-            "train_loss_first": round(losses[0], 5),
-            "train_loss_last5_mean": round(last5, 5),
-            "test_loss_last": round(evals[-1], 5) if evals else None,
-            "test_rot_rmse_last": round(rmse[-1], 4) if rmse else None,
-            "train_loss_curve_every5": [round(x, 5) for x in losses[::5]],
-        }
-    f32, bf = conv["float32"], conv["bfloat16"]
-    conv["final_train_rel_diff"] = round(
-        abs(f32["train_loss_last5_mean"] - bf["train_loss_last5_mean"])
-        / max(abs(f32["train_loss_last5_mean"]), 1e-9), 4)
-    if f32["test_loss_last"] is not None and bf["test_loss_last"] is not None:
-        conv["final_test_rel_diff"] = round(
-            abs(f32["test_loss_last"] - bf["test_loss_last"])
-            / max(abs(f32["test_loss_last"]), 1e-9), 4)
-    results["convergence"]["dcp"] = conv
-    print(json.dumps({"convergence_dcp": conv}), flush=True)
+    # --- convergence: every harness from the same fp32 init, fp32 vs bf16 -
+    # (round-4 verdict task 5: RPM and FMR get the same treatment DCP did)
+    for name in args.models.split(","):
+        conv = {}
+        for dt in ["float32", "bfloat16"]:
+            exp_dir = os.path.join(args.exp_root, f"{name}_{dt}")
+            shutil.rmtree(exp_dir, ignore_errors=True)
+            fit = H.FitConfig(epochs=args.conv_epochs, exp_dir=exp_dir,
+                              seed=1234, save_every=0, artifacts_every=0,
+                              log_tensorboard=False, resume=False)
+            cfg, mod, extra = _harness(name, dt, args.backend, fit)
+            train_loader, test_loader = DS.generate_datasets(
+                DS.DatasetConfig(**extra, **mk))
+            t0 = time.time()
+            mod.train(cfg, train_loader, test_loader, log=lambda *a: None)
+            losses = tag_series(exp_dir, "train/loss")
+            evals = tag_series(exp_dir, "test/loss")
+            rmse = tag_series(exp_dir, "test/loss_rot_euler_rmse")
+            last5 = float(np.mean(losses[-5:]))
+            conv[dt] = {
+                "wall_s": round(time.time() - t0, 1),
+                "train_loss_first": round(losses[0], 5),
+                "train_loss_last5_mean": round(last5, 5),
+                "test_loss_last": round(evals[-1], 5) if evals else None,
+                "test_rot_rmse_last": round(rmse[-1], 4) if rmse else None,
+                "train_loss_curve_every5": [round(x, 5) for x in losses[::5]],
+            }
+        f32, bf = conv["float32"], conv["bfloat16"]
+        conv["final_train_rel_diff"] = round(
+            abs(f32["train_loss_last5_mean"] - bf["train_loss_last5_mean"])
+            / max(abs(f32["train_loss_last5_mean"]), 1e-9), 4)
+        if (f32["test_loss_last"] is not None
+                and bf["test_loss_last"] is not None):
+            conv["final_test_rel_diff"] = round(
+                abs(f32["test_loss_last"] - bf["test_loss_last"])
+                / max(abs(f32["test_loss_last"]), 1e-9), 4)
+        if (f32["test_rot_rmse_last"] is not None
+                and bf["test_rot_rmse_last"] is not None):
+            conv["rot_rmse_ratio_bf16_over_fp32"] = round(
+                bf["test_rot_rmse_last"]
+                / max(f32["test_rot_rmse_last"], 1e-9), 4)
+        results["convergence"][name] = conv
+        print(json.dumps({f"convergence_{name}": conv}), flush=True)
+
+    results["wall_s_note"] = (
+        "wall_s includes XLA compilation. Both dtypes share the persistent "
+        "compile cache, so whichever (harness, dtype) pair first runs a "
+        "given program shape on a cold cache pays the full compile wall — "
+        "the round-4 artifact's 77.8 s bf16 vs 34.8 s fp32 asymmetry for "
+        "identical 40-epoch DCP runs was exactly this (fp32 hit the "
+        "driver's warm cache, bf16 compiled cold), not a bf16 slowdown. "
+        "Compare steady-state step times under 'steps', not wall_s.")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

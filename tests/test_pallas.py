@@ -661,3 +661,31 @@ class TestSlotPointsKernelVJP:
         np.testing.assert_allclose(np.asarray(g[0]),
                                    np.asarray(jax.grad(f)(P)),
                                    rtol=1e-6, atol=0)
+
+
+class TestMXUGatherKernel:
+    """ops/pallas/gather.py — the MXU one-hot row gather. A measured
+    negative result at RPM's C=6 shape (XLA's flat take is 2x faster there,
+    models/rpmnet.py:_group_gather) but kept for the wide-C regime;
+    correctness is pinned here in interpret mode."""
+
+    @pytest.mark.parametrize("shape", [(2, 40, 6, 100), (1, 128, 3, 128),
+                                       (3, 17, 5, 33)])
+    def test_fwd_bitexact_and_bwd(self, shape):
+        from a_robust_registration_loss_tpu.ops.pallas.gather import (
+            gather_rows,
+        )
+
+        B, N, C, Q = shape
+        rng = np.random.default_rng(0)
+        tab = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, N, (B, Q)).astype(np.int32))
+        out = gather_rows(tab, idx, True)
+        ref = jnp.take_along_axis(tab, idx[..., None], axis=1)
+        assert bool(jnp.all(out == ref))  # exact: 0/1 fp32 one-hot @ HIGHEST
+        g = jnp.asarray(rng.standard_normal((B, Q, C)).astype(np.float32))
+        g1 = jax.grad(lambda t: jnp.sum(gather_rows(t, idx, True) * g))(tab)
+        g2 = jax.grad(lambda t: jnp.sum(
+            jnp.take_along_axis(t, idx[..., None], 1) * g))(tab)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)

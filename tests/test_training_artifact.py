@@ -401,10 +401,24 @@ class TestMixedPrecisionArtifact:
 
     def test_convergence_tracks(self):
         art = self._art()
-        conv = art["convergence"]["dcp"]
-        # same init, same data order: final train loss within 15% and both
-        # runs actually went downhill
-        assert conv["final_train_rel_diff"] <= 0.15, conv
-        for dt in ("float32", "bfloat16"):
-            rec = conv[dt]
-            assert rec["train_loss_last5_mean"] < rec["train_loss_first"], rec
+        # round-5: all three harnesses carry convergence runs (round-4
+        # artifact had DCP only)
+        for name in ("dcp", "rpm", "fmr"):
+            conv = art["convergence"].get(name)
+            if conv is None:
+                assert name != "dcp", art["convergence"]
+                pytest.skip(f"{name} convergence not recorded in artifact")
+            # same init, same data order: final train loss within 15% and
+            # both runs actually went downhill
+            assert conv["final_train_rel_diff"] <= 0.15, (name, conv)
+            for dt in ("float32", "bfloat16"):
+                rec = conv[dt]
+                assert rec["train_loss_last5_mean"] < rec["train_loss_first"], (
+                    name, rec)
+            # held-out bar (advisor r4): bf16 must not wreck generalization —
+            # rot RMSE within 1.3x of fp32 (committed DCP run: 3.37 vs 3.06
+            # = 1.10x; train-loss tracking alone would miss a held-out
+            # regression)
+            ratio = conv.get("rot_rmse_ratio_bf16_over_fp32")
+            if ratio is not None:
+                assert ratio <= 1.3, (name, conv)
