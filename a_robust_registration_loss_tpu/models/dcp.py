@@ -93,7 +93,13 @@ def knn_graph_feature(x, k: int):
     d = -(d + sq[..., :, None] + sq[..., None, :])  # negative sqr distance
     _, idx = jax.lax.top_k(d, k)  # (B, N, k)
     B, N, C = x.shape
-    feat = jnp.take_along_axis(x[:, None], idx[..., None], axis=2)  # (B, N, k, C)
+    # flat global take: one gather over the (B*N, C) table beats the
+    # per-batch take_along_axis row gather on TPU (graph build 3.30 ->
+    # 2.41 ms at B=4/N=1024/k=20; bit-identical — same finding as RPM's
+    # _group_gather, models/rpmnet.py)
+    off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    feat = jnp.take(x.reshape(B * N, C), (idx + off).reshape(-1),
+                    axis=0).reshape(B, N, k, C)
     xi = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
     return jnp.concatenate([feat, xi], axis=-1)
 
