@@ -50,9 +50,13 @@ class FMRConfig:
     maxiter: int = 5         # train default (eval uses 10, fmr/model.py:758)
     xtol: float = 1.0e-7
     use_decoder: bool = True
-    # Mixed precision (TPU MXU): compute dtype for the encoder/decoder MLPs.
-    # Params stay fp32; pooled features, the IC solver (Jacobian, pinv,
-    # exp/log) and the AE chamfer stay fp32. The reference is fp32-only;
+    # Mixed precision (TPU MXU): compute dtype for the AE branch only (the
+    # f1_full encoder pass + decoder). Params stay fp32, and EVERY encoder
+    # pass feeding the IC solver (f0, the FD Jacobian, the loop residuals)
+    # is pinned to fp32 regardless of this setting: the Jacobian subtracts
+    # near-equal feature vectors and bf16 feature noise measurably degrades
+    # registration (held-out rot RMSE 3.26 -> 5.19 deg before the pin,
+    # benchmarks/MIXED_PRECISION.json history). The reference is fp32-only;
     # this is an opt-in TPU performance mode.
     dtype: str = "float32"
 
@@ -62,11 +66,19 @@ class PointNetEncoder(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, points):  # (B, N, 3) -> (B, K)
+    def __call__(self, points, dtype: str | None = None):  # (B, N, 3) -> (B, K)
+        """``dtype`` overrides the compute dtype per call (params are shared
+        and stay fp32 either way). The IC solver passes "float32": its
+        finite-difference Jacobian subtracts near-equal feature vectors, and
+        bf16 feature noise dominates the f0-f1 differences (measured: bf16
+        encoder in the solve degraded held-out rot RMSE 3.26 -> 5.19 deg at
+        the 40-epoch protocol; fp32 solve restores it while the AE branch
+        keeps the bf16 MXU speedup)."""
+        dt = self.dtype if dtype is None else dtype
         x = points
         for width in [64, 64, 64, 128, self.dim_k]:
-            x = nn.Dense(width, dtype=self.dtype)(x)
-            x = TorchGroupNorm(8, dtype=self.dtype)(x)
+            x = nn.Dense(width, dtype=dt)(x)
+            x = TorchGroupNorm(8, dtype=dt)(x)
             x = nn.relu(x)
         # pooled features in fp32: they feed the IC Jacobian / residuals
         return jnp.max(x, axis=1).astype(jnp.float32)
@@ -119,7 +131,9 @@ class SolveRegistration(nn.Module):
         twists = -jnp.eye(6)[None] * dt[:, None, :]  # (B, 6, 6) rows
         D = se3.exp(twists)  # (B, 6, 4, 4)
         p = se3.transform(D[:, :, None], p0[:, None])  # (B, 6, N, 3)
-        f1 = self.encoder(p.reshape(B * 6, N, 3)).reshape(B, 6, -1)
+        # fp32: FD Jacobian of near-equal features (see PointNetEncoder)
+        f1 = self.encoder(p.reshape(B * 6, N, 3),
+                          dtype="float32").reshape(B, 6, -1)
         f = jnp.swapaxes(f1, 1, 2)  # (B, K, 6)
         return (f0[..., None] - f) / dt[:, None, :]
 
@@ -136,8 +150,9 @@ class SolveRegistration(nn.Module):
         a0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 0:3, 3].set(p0_m)
         a1 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 0:3, 3].set(-p1_m)
 
-        # AE loss (fmr/model.py:344-358)
-        f0 = self.encoder(q0)
+        # AE loss (fmr/model.py:344-358). f0 feeds the IC residual/Jacobian:
+        # fp32 (the AE branch below keeps the config dtype)
+        f0 = self.encoder(q0, dtype="float32")
         loss_ende = 0.0
         if self.decoder is not None:
             f1_full = self.encoder(q1)
@@ -174,7 +189,7 @@ class SolveRegistration(nn.Module):
         r = None
         for _ in range(maxiter):
             p = se3.transform(g[:, None], q1)  # (B, N, 3)
-            f1 = self.encoder(p)
+            f1 = self.encoder(p, dtype="float32")  # residual vs fp32 f0
             r_new = f1 - f0
             r = r_new if r is None else jnp.where(stopped, r, r_new)
             dx = -jnp.matmul(pinv, r[..., None], precision=_HI)[..., 0]  # (B, 6)
