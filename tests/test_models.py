@@ -350,3 +350,41 @@ class TestMixedPrecision:
         assert np.isfinite(float(metrics["loss"]))
         assert all(x.dtype == jnp.float32
                    for x in jax.tree_util.tree_leaves(new_params))
+
+
+class TestCommittedCheckpointCompat:
+    def test_committed_dcp_checkpoint_restores_and_matches_golden(self):
+        """A REAL orbax checkpoint committed to the repo (round-5, after the
+        round-4 FFN auto-name flip broke restore of every earlier DCP
+        checkpoint): the current module must restore it by name and
+        reproduce the committed golden forward. Any future param-naming or
+        numerics drift fails here against an on-disk artifact, not a
+        synthesized tree."""
+        import json
+        import os
+
+        from a_robust_registration_loss_tpu.utils.checkpoint import (
+            CheckPointManager,
+        )
+
+        d = os.path.join(os.path.dirname(__file__), "data", "dcp_tiny_ckpt")
+        with open(os.path.join(d, "config.json")) as f:
+            meta = json.load(f)
+        cfg = DCPConfig(emb_nn=meta["emb_nn"], pointer=meta["pointer"],
+                        head=meta["head"], emb_dims=meta["emb_dims"],
+                        ff_dims=meta["ff_dims"], n_blocks=meta["n_blocks"],
+                        n_heads=meta["n_heads"])
+        m = DCP(cfg)
+        rng = np.random.default_rng(meta["input_seed"])
+        B, N, _ = meta["shape"]
+        src = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+        template = m.init(jax.random.PRNGKey(0), src, tgt)["params"]
+        mgr = CheckPointManager(d, max_to_keep=1)
+        state, step = mgr.load({"params": template})
+        assert step == 0
+        R, t, _, _ = m.apply({"params": state["params"]}, src, tgt)
+        golden_R = np.load(os.path.join(d, "golden_R.npy"))
+        golden_t = np.load(os.path.join(d, "golden_t.npy"))
+        np.testing.assert_allclose(np.asarray(R), golden_R, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), golden_t, atol=1e-5)
